@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+local[N] here stands in for an N-core executor fleet; the configs below are
+the ones that matter identically on a real cluster:
+
+* AQE on (runtime shuffle-partition coalescing + skew-join splitting) —
+  head-entity / hot-domain skew is expected in web corpora.
+* Arrow enabled — every Python stage in this engine is an Arrow-batched
+  pandas UDF / mapInPandas; there is no row-at-a-time Python anywhere.
+* shuffle partitions sized to cores locally; on a real cluster leave AQE to
+  coalesce from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark"]
+
+
+def get_spark(app_name: str = "quickner-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
