@@ -1,38 +1,368 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the training-data
+extensions) is exposed as a ``queries()`` entry over the driver-generated
+testdata tables, with a DuckDB ``oracle_sql()`` twin that expresses the SAME
+semantics in ANSI SQL. The document corpus is single-spaced lowercase ASCII
+([a-z0-9 ]), for which the reference boundary cascade (quickner-core/src/
+quickner.rs:137-222) reduces exactly to::
+
+    (start == 0 OR prev ∈ ws∪punct) AND (next ∈ ws∪punct)   -- rules a-c,e,f
+    OR start + len(name) == len(text)                        -- rule d
+
+which the oracle encodes position-by-position via a lateral
+``generate_series`` scan (an O(n·m) literal restatement — intentionally a
+*different algorithm* than the engine's automaton, so agreement is evidence).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from quickner_spark.filters import Filters
+from quickner_spark.operators.annotate import annotate_mentions, normalize_gazetteer
+from quickner_spark.operators import indexes as ix
+from quickner_spark.operators import textops as tx
+from quickner_spark.operators import simsearch as ss
+from quickner_spark.operators.graph import connected_components
+from quickner_spark.kg.triples import pattern_triples
+
+# ---------------------------------------------------------------------------
+# Shared fixtures: a fixed gazetteer over the testdata vocabulary.
+# "hash" vs "hash join" exercises overlapping-pattern emission (M1).
+# ---------------------------------------------------------------------------
+GAZETTEER: list[tuple[str, str]] = [
+    ("spark", "TOOL"),
+    ("hash join", "OP"),
+    ("hash", "KW"),
+    ("merge", "OP"),
+    ("sort", "OP"),
+    ("window", "OP"),
+    ("customer", "ENT"),
+    ("vector", "ENT"),
+    ("stream", "ENT"),
+    ("data", "ENT"),
+]
+STOPWORDS = ("the", "a")
+PREDICATES = ("join", "scan")  # connective tokens for triple patterns
+VALID_FILTERS = Filters(min_length=150, max_length=300, punctuation=True)
+KNN_PROBES = [0, 1, 2, 3, 4]
+
+# Boundary char class for the ASCII corpus: Unicode ws (ASCII subset) +
+# ASCII punctuation — matches matcher.WHITE_SPACE/ASCII_PUNCTUATION on this
+# corpus.
+_BND = r"^[ \t\n\r!-/:-@[-`{-~]$"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = normalize_gazetteer(GAZETTEER, case_sensitive=False)
+    return annotate_mentions(_docs(spark, sf_dir), gaz,
+                             id_col="doc_id", text_col="text",
+                             case_sensitive=False)
+
+
+def _gaz_values_sql() -> str:
+    rows = ", ".join(f"('{n}', '{l}')"
+                     for n, l in normalize_gazetteer(GAZETTEER))
+    return f"gaz(name, label) AS (VALUES {rows})"
+
+
+def _mentions_cte() -> str:
+    """CTEs: gaz, d (lowercased docs), mentions — reference-mode boundary
+    semantics for an ASCII corpus (see module docstring)."""
+    return f"""
+{_gaz_values_sql()},
+d AS (SELECT doc_id, lower(text) AS text FROM documents),
+raw AS (
+  SELECT d.doc_id, d.text, g.name, g.label, p.pos
+  FROM d CROSS JOIN gaz g,
+  LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - length(g.name) + 1, 0))) AS pos) p
+  WHERE substring(d.text, p.pos, length(g.name)) = g.name
+),
+mentions AS (
+  SELECT doc_id,
+         CAST(pos - 1 AS BIGINT) AS "start",
+         CAST(pos - 1 + length(name) AS BIGINT) AS "end",
+         label, name AS surface
+  FROM raw
+  WHERE ((pos = 1 OR regexp_matches(substring(text, pos - 1, 1), '{_BND}'))
+         AND (pos + length(name) <= length(text)
+              AND regexp_matches(substring(text, pos + length(name), 1), '{_BND}')))
+     OR (pos - 1 + length(name) = length(text))
+)""".strip()
+
+
+# ---------------------------------------------------------------------------
+# queries() — Spark implementations
+# ---------------------------------------------------------------------------
+
+def q01_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 + F5: full mention extraction (SURVEY §2.5)."""
+    return _mentions(spark, sf_dir)
+
+
+def q02_label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (SURVEY §2.6)."""
+    return ix.label_histogram(_mentions(spark, sf_dir))
+
+
+def q03_docs_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (SURVEY §2.7): case-sensitive label lookup."""
+    return ix.docs_by_label(_mentions(spark, sf_dir), "OP")
+
+
+def q04_docs_by_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (SURVEY §2.7): case-insensitive surface lookup."""
+    return ix.docs_by_entity(_mentions(spark, sf_dir), "Spark")
+
+
+def q05_entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (SURVEY §2.6): surface -> distinct-doc count."""
+    return ix.entity_index(_mentions(spark, sf_dir))
+
+
+def q06_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 (SURVEY §2.3) as pushed-down Column predicates."""
+    docs = _docs(spark, sf_dir)
+    return docs.where(VALID_FILTERS.spark_predicate(F.col("text"))).select("doc_id")
+
+
+def q07_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (A4 generalized; training-data op). The corpus has
+    no exact duplicates, so dedup runs over documents UNION ALL documents —
+    every text then forms a group of 2 and the digest/keep-id/count logic is
+    fully exercised."""
+    docs = _docs(spark, sf_dir)
+    return tx.exact_dup_groups(docs.unionAll(docs))
+
+
+def q08_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score inputs (training-data op)."""
+    return tx.token_stats(_docs(spark, sf_dir), stopwords=STOPWORDS)
+
+
+def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus aggregation by language (scan->hash agg)."""
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+def q10_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact word-trigram Jaccard >= 0.8 via
+    shingle-inverted-index self-join (training-data op)."""
+    return tx.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold_pct=80)
+
+
+def q11_knn_quantized_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 neighbors by integer-quantized inner product."""
+    out = ss.topk_quantized_ip(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES)
+    return out.select("probe_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+def q12_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule triple extraction: mention-pair + connective pattern."""
+    docs = _docs(spark, sf_dir)
+    return pattern_triples(_mentions(spark, sf_dir), docs, PREDICATES)
+
+
+def q13_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule canonicalization: connected components over the
+    adjacent-surface co-occurrence graph (iterative min-label propagation;
+    oracle is a recursive-CTE transitive closure)."""
+    m = _mentions(spark, sf_dir)
+    m1 = m.select("doc_id", F.col("end").alias("e"), F.col("surface").alias("u"))
+    m2 = m.select("doc_id", F.col("start").alias("s"), F.col("surface").alias("v"))
+    edges = (m1.join(m2, "doc_id")
+             .where((F.col("s") == F.col("e") + 1) & (F.col("u") != F.col("v")))
+             .select("u", "v").distinct())
+    return connected_components(edges, "u", "v").select("node", "component")
+
+
+def q14_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-dup candidates, exact-verified. No SQL
+    oracle (hash-function-specific); rows-only check. Recall vs
+    q10 is asserted in tests/test_textops.py."""
+    return tx.minhash_dedup(_docs(spark, sf_dir), n=3, num_hashes=64,
+                            bands=16, threshold_pct=80)
+
+
+def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 fingerprints (xxhash64-based; rows-only check)."""
+    return tx.simhash64(_docs(spark, sf_dir))
+
+
+def q16_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (rows-only; recall vs
+    exact cosine asserted in tests/test_simsearch.py)."""
+    out = ss.lsh_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
+                      n_planes=4, n_tables=16)
+    return out.select("probe_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full mention extraction."""
+    return q01_mentions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_mentions": q01_mentions,
+        "q02_label_histogram": q02_label_histogram,
+        "q03_docs_by_label": q03_docs_by_label,
+        "q04_docs_by_entity": q04_docs_by_entity,
+        "q05_entity_index": q05_entity_index,
+        "q06_filter_valid": q06_filter_valid,
+        "q07_exact_dedup": q07_exact_dedup,
+        "q08_token_stats": q08_token_stats,
+        "q09_corpus_stats": q09_corpus_stats,
+        "q10_ngram_jaccard_pairs": q10_ngram_jaccard_pairs,
+        "q11_knn_quantized_ip": q11_knn_quantized_ip,
+        "q12_triples": q12_triples,
+        "q13_components": q13_components,
+        "q14_minhash_dedup": q14_minhash_dedup,
+        "q15_simhash": q15_simhash,
+        "q16_lsh_knn": q16_lsh_knn,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB twins
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = _mentions_cte()
+    filt = VALID_FILTERS.duckdb_predicate("text")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    pred_values = ", ".join(f"('{p}')" for p in PREDICATES)
+    probe_list = ", ".join(str(p) for p in KNN_PROBES)
+    return {
+        "q01_mentions": f"""
+WITH {cte}
+SELECT doc_id, "start", "end", label, surface FROM mentions
+""",
+        "q02_label_histogram": f"""
+WITH {cte}
+SELECT label, count(*) AS n_mentions FROM mentions GROUP BY label
+""",
+        "q03_docs_by_label": f"""
+WITH {cte}
+SELECT DISTINCT doc_id FROM mentions WHERE label = 'OP'
+""",
+        "q04_docs_by_entity": f"""
+WITH {cte}
+SELECT DISTINCT doc_id FROM mentions WHERE lower(surface) = 'spark'
+""",
+        "q05_entity_index": f"""
+WITH {cte}
+SELECT lower(surface) AS surface, count(DISTINCT doc_id) AS n_docs
+FROM mentions GROUP BY 1
+""",
+        "q06_filter_valid": f"""
+SELECT doc_id FROM documents WHERE {filt}
+""",
+        "q07_exact_dedup": """
+WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM u GROUP BY text HAVING count(*) > 1
+""",
+        "q08_token_stats": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop_list}))) AS BIGINT) AS n_stopwords,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
+""",
+        "q09_corpus_stats": """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
+        "q10_ngram_jaccard_pairs": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+  FROM w, LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) t
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE 100 * shared >= 80 * (ca.n_sh + cb.n_sh - shared)
+""",
+        "q11_knn_quantized_ip": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id IN ({probe_list})),
+scored AS (
+  SELECT p.probe_id, q.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                      i -> p.pq[i] * q.qv[i])) AS BIGINT) AS score
+  FROM p, q WHERE q.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "q12_triples": f"""
+WITH {cte},
+preds(pred) AS (VALUES {pred_values})
+SELECT m1.doc_id,
+       m1.surface AS subj, p.pred, m2.surface AS obj,
+       m1."start" AS subj_start, m2."start" AS obj_start
+FROM mentions m1
+JOIN mentions m2 ON m1.doc_id = m2.doc_id
+CROSS JOIN preds p
+JOIN d ON d.doc_id = m1.doc_id
+WHERE m2."start" = m1."end" + 2 + length(p.pred)
+  AND substring(d.text, CAST(m1."end" AS INT) + 2, length(p.pred)) = p.pred
+  AND substring(d.text, CAST(m1."end" AS INT) + 1, 1) = ' '
+  AND substring(d.text, CAST(m1."end" + length(p.pred) AS INT) + 2, 1) = ' '
+""",
+        "q13_components": f"""
+WITH RECURSIVE {cte},
+e AS (
+  SELECT DISTINCT m1.surface AS u, m2.surface AS v
+  FROM mentions m1
+  JOIN mentions m2 ON m1.doc_id = m2.doc_id
+   AND m2."start" = m1."end" + 1 AND m1.surface <> m2.surface
+),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, r.anc FROM reach r JOIN sym s ON r.node = s.u
+)
+SELECT node, min(anc) AS component FROM reach GROUP BY node
+""",
+    }

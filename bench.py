@@ -1,0 +1,76 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...,
+ "mentions_per_sec": ..., "triples_per_sec": ...}
+
+Each query is forced with a count() so the measured time covers the whole
+plan execution (scan -> compute -> agg), not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from quickner_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_mentions",
+    "q02_label_histogram",
+    "q05_entity_index",
+    "q06_filter_valid",
+    "q07_exact_dedup",
+    "q08_token_stats",
+    "q10_ngram_jaccard_pairs",
+    "q11_knn_quantized_ip",
+    "q12_triples",
+    "q13_components",
+    "q14_minhash_dedup",
+    "q15_simhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("quickner-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    # warm the JVM/python workers once so q01 doesn't absorb startup cost
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for name in HEADLINE:
+        t0 = time.time()
+        counts[name] = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (mention extraction, dedup, "
+                  "similarity, triples, components) at sf" + str(sf),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(n_docs / timings["q01_mentions"], 1),
+        "mentions_per_sec": round(counts["q01_mentions"] / timings["q01_mentions"], 1),
+        "triples_per_sec": round(counts["q12_triples"] / timings["q12_triples"], 1),
+        "cpus": cpus,
+        "rows": counts,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

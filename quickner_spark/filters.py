@@ -126,9 +126,9 @@ class Filters:
             cls = _duck_class(self._special)
             parts.append(f"NOT regexp_matches({col}, '{cls}')")
         if self.min_length >= 0:
-            parts.append(f"octet_length({col}) >= {self.min_length}")
+            parts.append(f"strlen({col}) >= {self.min_length}")  # bytes
         if self.max_length >= 0:
-            parts.append(f"octet_length({col}) <= {self.max_length}")
+            parts.append(f"strlen({col}) <= {self.max_length}")
         return "(" + " AND ".join(parts) + ")"
 
 

@@ -1,0 +1,174 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Produces the ``pages`` table from BASELINE.json input_hint —
+(url string, warc_ts timestamp, html binary, text string, lang string) —
+fully seeded (no external data), with the skew properties a real web corpus
+has and that the pipeline must handle:
+
+* Zipf-distributed entity frequency (head entities) over a synthesized
+  gazetteer (shape mirrors the reference's 999-name, mostly-ORG
+  data/entities.csv — synthesized, not copied).
+* hot-domain URL clustering (a few domains own most pages).
+* sentence templates that embed gazetteer entities around connective
+  predicates, so triple extraction has ground truth.
+* html synthesized FROM text, so extraction is exactly invertible and the
+  "byte-identical extracted text per url" invariant is testable.
+
+Generation is distributed: ``spark.range(n)`` -> JVM-safe deterministic
+row derivation in a pandas UDF seeded per doc index (no driver-side
+materialization; scales to any n).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import html as html_mod
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["synth_gazetteer", "synth_pages", "page_html", "PREDICATES",
+           "LABELS"]
+
+PREDICATES = ("was created by", "is made by", "works at", "acquired")
+LABELS = ("ORG", "PERSON", "PL", "PRODUCT")
+
+_FIRST = ["alda", "brin", "cora", "dane", "elya", "finn", "gera", "hale",
+          "iris", "jude", "kira", "liam", "mira", "nash", "opal", "pell"]
+_LAST = ["anders", "boyle", "chen", "diaz", "evans", "fuchs", "grant",
+         "hopper", "ito", "jain", "kim", "lovett", "moss", "nolan"]
+_ORG_A = ["acme", "orbit", "vertex", "quark", "zenith", "nimbus", "pylon",
+          "cobalt", "ember", "flux", "gale", "helix"]
+_ORG_B = ["systems", "labs", "software", "industries", "dynamics", "works",
+          "computing", "networks", "analytics", "robotics"]
+_FILLER = ("the quick overview explains how the platform handles scale and "
+           "why teams adopt it for production workloads").split()
+_DOMAINS = ["alpha.example.org", "beta.example.org", "gamma.example.org",
+            "delta.example.org", "epsilon.example.org", "zeta.example.org",
+            "eta.example.org", "theta.example.org"]
+_LANGS = ["en", "en", "en", "en", "en", "en", "de", "fr", "es", "zh"]
+
+
+def _h(seed: int, *parts) -> int:
+    """Deterministic 64-bit hash stream (stable across runs/processes)."""
+    m = hashlib.blake2b(digest_size=8)
+    m.update(str(seed).encode())
+    for p in parts:
+        m.update(b"\x1f")
+        m.update(str(p).encode())
+    return int.from_bytes(m.digest(), "big")
+
+
+def synth_gazetteer(n: int = 999, seed: int = 42) -> list[tuple[str, str]]:
+    """~n gazetteer rows, mostly ORG (shape of reference data/entities.csv).
+    Deterministic; includes multi-word names and shared-prefix collisions
+    (overlapping-pattern stress)."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while len(out) < n:
+        r = _h(seed, "gaz", i)
+        kind = r % 10
+        if kind < 7:  # ORG
+            name = f"{_ORG_A[r % len(_ORG_A)]} {_ORG_B[(r >> 8) % len(_ORG_B)]}"
+            if (r >> 16) % 3 == 0:
+                name += f" {_ORG_B[(r >> 24) % len(_ORG_B)]}"
+            out.append((name, "ORG"))
+        elif kind < 9:  # PERSON
+            name = f"{_FIRST[r % len(_FIRST)]} {_LAST[(r >> 8) % len(_LAST)]}"
+            out.append((name, "PERSON"))
+        else:  # PRODUCT
+            name = f"{_ORG_A[r % len(_ORG_A)]}{(r >> 8) % 100}"
+            out.append((name, "PRODUCT"))
+        i += 1
+    # set-dedup preserving determinism (reference gazetteer is a set)
+    return sorted(set(out))[:n]
+
+
+def _zipf_pick(items: list, r: int) -> object:
+    """Zipf-ish pick: rank k chosen with weight ~ 1/(k+1)."""
+    n = len(items)
+    # cumulative harmonic inversion via a cheap approximation
+    u = (r % 10_000) / 10_000.0
+    k = int(n ** u) - 1
+    return items[max(0, min(n - 1, k))]
+
+
+def page_text(i: int, gaz: list[tuple[str, str]], seed: int = 42) -> tuple[str, list[tuple[str, str, str]]]:
+    """Deterministic text for doc i + its ground-truth triples."""
+    r0 = _h(seed, "doc", i)
+    n_sent = 1 + r0 % 3
+    sents = []
+    triples = []
+    for s in range(n_sent):
+        r = _h(seed, "sent", i, s)
+        subj, _ = _zipf_pick(gaz, r)
+        obj, _ = _zipf_pick(gaz, r >> 16)
+        if obj == subj:
+            j = (r >> 32) % len(gaz)
+            obj, _ = gaz[j]
+            if obj == subj:  # guarantee distinct so every sentence is a triple
+                obj, _ = gaz[(j + 1) % len(gaz)]
+        pred = PREDICATES[(r >> 48) % len(PREDICATES)]
+        filler = " ".join(
+            _FILLER[(_h(seed, "f", i, s, j)) % len(_FILLER)]
+            for j in range(r % 5))
+        core = f"{subj} {pred} {obj}"
+        sents.append((core + (" " + filler if filler else "")).strip())
+        triples.append((subj, pred.replace(" ", "_"), obj))
+    return ". ".join(sents) + ".", triples
+
+
+def page_html(text: str, title: str) -> bytes:
+    """Deterministic html synthesis — the inverse of kg.extract.extract_text.
+    Escaped payload guarantees byte-identical round-trip."""
+    return (f"<html><head><title>{html_mod.escape(title)}</title></head>"
+            f"<body><nav>home | about</nav><p>{html_mod.escape(text)}</p>"
+            f"<footer>generated</footer></body></html>").encode("utf-8")
+
+
+def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
+                gaz_size: int = 999, partitions: int | None = None) -> DataFrame:
+    """Distributed generation of the pages table. Hot-domain skew: domain
+    rank chosen Zipf-style, so ~40% of urls land on one domain."""
+    gaz = synth_gazetteer(gaz_size, seed)
+    sc_partitions = partitions or max(8, n_docs // 25_000)
+    base = spark.range(0, n_docs, 1, sc_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        epoch = dt.datetime(2024, 1, 1)
+        for pdf in batches:
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for i in pdf["id"].values:
+                i = int(i)
+                text, _ = page_text(i, gaz, seed)
+                r = _h(seed, "meta", i)
+                domain = _zipf_pick(_DOMAINS, r)
+                urls.append(f"https://{domain}/doc/{i}")
+                tss.append(epoch + dt.timedelta(seconds=i % 864000))
+                htmls.append(page_html(text, f"doc {i}"))
+                texts.append(text)
+                langs.append(_LANGS[(r >> 8) % len(_LANGS)])
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls,
+                                "text": texts, "lang": langs})
+
+    return base.mapInPandas(
+        gen, "url string, warc_ts timestamp, html binary, text string, "
+             "lang string")
+
+
+def golden_triples(n_docs: int, seed: int = 42,
+                   gaz_size: int = 999) -> list[tuple[str, str, str, str]]:
+    """Ground-truth (subj, pred, obj, url) for the synthetic corpus —
+    the frozen oracle for triple-level P/R."""
+    gaz = synth_gazetteer(gaz_size, seed)
+    out = []
+    for i in range(n_docs):
+        _, triples = page_text(i, gaz, seed)
+        r = _h(seed, "meta", i)
+        domain = _zipf_pick(_DOMAINS, r)
+        url = f"https://{domain}/doc/{i}"
+        for t in triples:
+            out.append((*t, url))
+    return out

@@ -1,0 +1,174 @@
+"""Resumable KG-construction pipeline driver (north rule).
+
+Each stage writes its output table + per-partition lineage/metrics rows;
+a rerun skips stages whose committed output already exists, so the job is
+resumable mid-pipeline after a failure.
+
+Storage: parquet directories with Spark's atomic ``_SUCCESS`` commit marker
+(swap for Iceberg ``writeTo(...).createOrReplace()`` + snapshot-existence
+checks on a cluster with an Iceberg catalog — the driver logic is
+identical; this container ships no Iceberg runtime).
+
+Metrics rows: (stage, partition_id, rows_out, wall_ms, run_id) appended
+under ``<base>/_metrics`` — per-partition lineage for skew forensics and
+the audit trail the north rule requires.
+
+The full pipeline::
+
+    pages --extract--> texts --annotate--> mentions --link--> linked
+          --triples--> triples --canonicalize--> alias_map
+          --materialize--> nodes / edges
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["Stage", "Pipeline", "build_kg_pipeline"]
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, dict], DataFrame]
+    partition_by: tuple[str, ...] = ()
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    return p.getFileSystem(conf).exists(p)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, base_dir: str, stages: list[Stage]):
+        self.spark = spark
+        self.base = base_dir.rstrip("/")
+        self.stages = stages
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def path(self, stage_name: str) -> str:
+        return f"{self.base}/{stage_name}"
+
+    def table(self, stage_name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage_name))
+
+    def _write_metrics(self, stage: str, df_written: DataFrame, wall_ms: int):
+        per_part = (df_written
+                    .groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count("*").alias("rows_out"))
+                    .withColumn("stage", F.lit(stage))
+                    .withColumn("wall_ms", F.lit(wall_ms))
+                    .withColumn("run_id", F.lit(self.run_id)))
+        (per_part.coalesce(1).write.mode("append")
+         .parquet(f"{self.base}/_metrics"))
+
+    def run(self, force: bool = False, ctx: dict | None = None) -> dict[str, str]:
+        """Execute all stages; returns {stage: 'ran'|'skipped'}. ``ctx`` is
+        threaded through stage functions (gazetteer, params, ...) plus
+        ``pipeline`` for reading upstream tables."""
+        ctx = dict(ctx or {})
+        ctx["pipeline"] = self
+        status: dict[str, str] = {}
+        for stage in self.stages:
+            out = self.path(stage.name)
+            if not force and _exists(self.spark, out):
+                status[stage.name] = "skipped"
+                continue
+            t0 = time.time()
+            df = stage.fn(self.spark, ctx)
+            writer = df.write.mode("overwrite")
+            if stage.partition_by:
+                writer = writer.partitionBy(*stage.partition_by)
+            writer.parquet(out)
+            wall_ms = int((time.time() - t0) * 1000)
+            written = self.spark.read.parquet(out)
+            self._write_metrics(stage.name, written, wall_ms)
+            status[stage.name] = "ran"
+        return status
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.base}/_metrics")
+
+
+def build_kg_pipeline(spark: SparkSession, base_dir: str,
+                      pages_path: str, gazetteer: list[tuple[str, str]],
+                      predicates: tuple[str, ...]) -> Pipeline:
+    """The standard 7-stage KG build over a pages table."""
+    from quickner_spark.kg.canonicalize import canonicalize_aliases
+    from quickner_spark.kg.extract import extract_stage
+    from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+    from quickner_spark.kg.triples import pattern_triples
+    from quickner_spark.operators.annotate import (annotate_mentions,
+                                                   maximal_mentions,
+                                                   normalize_gazetteer)
+
+    gaz = normalize_gazetteer(gazetteer, case_sensitive=False)
+
+    def s_extract(spark, ctx):
+        pages = spark.read.parquet(pages_path)
+        return extract_stage(pages)
+
+    def s_mentions(spark, ctx):
+        texts = ctx["pipeline"].table("extract")
+        return annotate_mentions(texts, gaz, id_col="url", text_col="text")
+
+    def s_linked(spark, ctx):
+        p = ctx["pipeline"]
+        alias_table = alias_table_from_gazetteer(spark, gaz)
+        return link_mentions(p.table("mentions"), p.table("extract"),
+                             alias_table, id_col="url")
+
+    def s_triples(spark, ctx):
+        p = ctx["pipeline"]
+        # longest-match resolution first: truncated overlapping mentions
+        # ('acme systems' inside 'acme systems works') must not become
+        # truncated triple arguments.
+        maximal = maximal_mentions(p.table("mentions"), id_col="url")
+        return pattern_triples(maximal, p.table("extract"),
+                               predicates, id_col="url")
+
+    def s_aliases(spark, ctx):
+        p = ctx["pipeline"]
+        aliases = (p.table("linked").select(F.col("surface").alias("alias"))
+                   .distinct())
+        return canonicalize_aliases(aliases)
+
+    def s_nodes(spark, ctx):
+        p = ctx["pipeline"]
+        # node key = the alias-cluster canonical (amap), NOT the link-stage
+        # candidate id — project linked down so the names can't collide.
+        linked = p.table("linked").select("surface", "label")
+        amap = p.table("aliases")
+        return (linked.join(amap, linked["surface"] == amap["alias"])
+                .groupBy("canonical_id")
+                .agg(F.min("label").alias("label"),
+                     F.sort_array(F.collect_set("surface")).alias("aliases"),
+                     F.count("*").alias("n_mentions")))
+
+    def s_edges(spark, ctx):
+        p = ctx["pipeline"]
+        t = p.table("triples")
+        amap = p.table("aliases")
+        subj_map = amap.selectExpr("alias as subj", "canonical_id as src")
+        obj_map = amap.selectExpr("alias as obj", "canonical_id as dst")
+        return (t.join(F.broadcast(subj_map), "subj")
+                .join(F.broadcast(obj_map), "obj")
+                .groupBy("src", "dst", "pred")
+                .agg(F.count("*").alias("weight")))
+
+    return Pipeline(spark, base_dir, [
+        Stage("extract", s_extract),
+        Stage("mentions", s_mentions),
+        Stage("linked", s_linked),
+        Stage("triples", s_triples),
+        Stage("aliases", s_aliases),
+        Stage("nodes", s_nodes),
+        Stage("edges", s_edges),
+    ])

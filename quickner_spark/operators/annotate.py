@@ -40,6 +40,7 @@ __all__ = [
     "normalize_gazetteer",
     "annotate_mentions",
     "annotate_documents",
+    "maximal_mentions",
     "SPAN_TYPE",
 ]
 
@@ -80,15 +81,19 @@ def normalize_gazetteer(
     return sorted(set(rows))
 
 
-def _mentions_schema(df: DataFrame, id_col: str) -> StructType:
+def _mentions_schema(df: DataFrame, id_col: str,
+                     passthrough_cols: tuple[str, ...] = ()) -> StructType:
     id_field = df.schema[id_col]
-    return StructType([
+    fields = [
         StructField(id_col, id_field.dataType, True),
         StructField("start", LongType(), False),
         StructField("end", LongType(), False),
         StructField("label", StringType(), False),
         StructField("surface", StringType(), False),
-    ])
+    ]
+    for c in passthrough_cols:
+        fields.append(StructField(c, df.schema[c].dataType, True))
+    return StructType(fields)
 
 
 def annotate_mentions(
@@ -99,8 +104,9 @@ def annotate_mentions(
     case_sensitive: bool = False,
     mode: str = "reference",
     backend: str = "auto",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """documents -> mentions(doc_id, start, end, label, surface).
+    """documents -> mentions(doc_id, start, end, label, surface, *passthrough).
 
     ``case_sensitive=False`` lowercases the text before matching (the
     reference mutates stored text, quickner.rs:267-270; surfaces here are
@@ -108,20 +114,27 @@ def annotate_mentions(
     built on stored text, quickner.rs:730-742).
 
     ``entities`` must already be normalized (``normalize_gazetteer``).
+    ``passthrough_cols`` are copied onto every mention row (e.g. an event
+    timestamp for streaming windowed aggregation — avoids a stream-stream
+    join downstream).
     """
     ents = tuple(entities)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(ents)
-    schema = _mentions_schema(df, id_col)
+    schema = _mentions_schema(df, id_col, tuple(passthrough_cols))
     lower = not case_sensitive
     clean = mode == "clean"
+    pcols = tuple(passthrough_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = get_matcher(bc.value, backend)
         find = matcher.find_spans_clean if clean else matcher.find_spans
         for pdf in batches:
             ids, starts, ends, labels, surfaces = [], [], [], [], []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+            extras: dict[str, list] = {c: [] for c in pcols}
+            pvals = {c: pdf[c].values for c in pcols}
+            for i, (doc_id, text) in enumerate(
+                    zip(pdf[id_col].values, pdf[text_col].values)):
                 if text is None:
                     continue
                 if lower:
@@ -132,15 +145,41 @@ def annotate_mentions(
                     ends.append(e)
                     labels.append(lab)
                     surfaces.append(text[s:e])
-            yield pd.DataFrame({
+                    for c in pcols:
+                        extras[c].append(pvals[c][i])
+            data = {
                 id_col: pd.Series(ids, dtype=pdf[id_col].dtype if ids else object),
                 "start": pd.Series(starts, dtype="int64"),
                 "end": pd.Series(ends, dtype="int64"),
                 "label": pd.Series(labels, dtype=object),
                 "surface": pd.Series(surfaces, dtype=object),
-            })
+            }
+            for c in pcols:
+                data[c] = pd.Series(extras[c], dtype=pdf[c].dtype if ids else object)
+            yield pd.DataFrame(data)
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return df.select(id_col, text_col, *pcols).mapInPandas(gen, schema)
+
+
+def maximal_mentions(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop mentions strictly contained in a longer mention of the same
+    document (standard longest-match NER resolution; used before triple
+    extraction so overlapping gazetteer names — 'acme systems' inside
+    'acme systems works' — don't yield truncated subjects/objects).
+
+    Anti-join keyed on the doc id (equi key) with a containment range
+    condition; mentions-per-doc is small so the per-key fanout is bounded.
+    """
+    a = mentions.alias("a")
+    b = mentions.alias("b")
+    cond = (
+        (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        & (F.col("b.start") <= F.col("a.start"))
+        & (F.col("a.end") <= F.col("b.end"))
+        & ((F.col("b.start") != F.col("a.start"))
+           | (F.col("b.end") != F.col("a.end")))
+    )
+    return a.join(b, cond, "left_anti")
 
 
 def annotate_documents(

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+* ``topk_quantized_ip`` / ``cosine_topk`` — brute-force scored join, the
+  exact baseline. All math is JVM-side (``zip_with`` + ``aggregate``); no
+  Python. Quantized inner product uses integer arithmetic end-to-end so
+  results are bit-exact and oracle-comparable.
+* ``lsh_topk`` — random-hyperplane LSH bucketing: candidates share a
+  signature prefix, exact re-scoring inside buckets. The 100 TB path: the
+  cross product never materializes, the shuffle is keyed on bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk"]
+
+
+def _quantize(col, scale: int = 1000):
+    # cast FIRST to double (float32 -> float64 is exact), then scale+round:
+    # identical IEEE ops on any SQL engine -> identical integers.
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _int_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def topk_quantized_ip(df: DataFrame, k: int = 5, probe_ids=None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: int = 1000) -> DataFrame:
+    """Exact top-k by integer-quantized inner product.
+
+    Probes (small) are broadcast against the full table; scoring is a
+    narrow map over the big side + a per-probe top-k window. At cluster
+    scale replace the window with ``groupBy(probe).agg(max_by...)`` loops
+    or use AQE-coalesced partial top-k; for k<=100 the window is fine.
+    """
+    q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
+    probes = q.where(F.col(id_col).isin(list(probe_ids))) if probe_ids is not None else q
+    probes = F.broadcast(probes.select(F.col(id_col).alias("probe_id"),
+                                       F.col("q").alias("pq")))
+    scored = (q.join(probes, F.col(id_col) != F.col("probe_id"))
+              .select("probe_id", F.col(id_col).alias("neighbor_id"),
+                      _int_dot(F.col("pq"), F.col("q")).alias("score")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "score"))
+
+
+def cosine_topk(df: DataFrame, k: int = 5, probe_ids=None,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity (float64). Same plan shape as
+    ``topk_quantized_ip``; float results are for in-engine use (ANN recall
+    baselines), not byte-exact cross-engine comparison."""
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                              F.lit(0.0), lambda a, b: a + b))
+    v = v.withColumn("n", norm)
+    probes = v.where(F.col(id_col).isin(list(probe_ids))) if probe_ids is not None else v
+    probes = F.broadcast(probes.select(F.col(id_col).alias("probe_id"),
+                                       F.col("v").alias("pv"), F.col("n").alias("pn")))
+    dot = F.aggregate(F.zip_with(F.col("pv"), F.col("v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, b: a + b)
+    scored = (v.join(probes, F.col(id_col) != F.col("probe_id"))
+              .select("probe_id", F.col(id_col).alias("neighbor_id"),
+                      (dot / (F.col("pn") * F.col("n"))).alias("cosine")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cosine"))
+
+
+def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
+             n_tables: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH.
+
+    Hyperplanes are derived deterministically from ``xxhash64(seed, table,
+    plane, dim)`` so the bucketing is reproducible with no driver-side
+    randomness. Candidates = vectors sharing a (table, signature) bucket
+    with a probe; candidates are re-scored exactly (cosine) and top-k'd.
+    Recall < 1 by construction; raise n_tables for recall, n_planes for
+    precision/bucket size.
+
+    Signatures are computed relationally (posexplode dims -> broadcast join
+    with a plane-weight table -> two aggregations) rather than as one giant
+    per-row expression — constant-size plans for any dimensionality."""
+    dim = len(df.select(vec_col).first()[0])
+    spark = df.sparkSession
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    # plane-weight table: (tbl, plane, d, w in {-1,+1}), deterministic
+    planes = (spark.range(n_tables * n_planes * dim)
+              .select((F.col("id") / (n_planes * dim)).cast("int").alias("tbl"),
+                      ((F.col("id") / dim) % n_planes).cast("int").alias("plane"),
+                      (F.col("id") % dim).cast("int").alias("d"),
+                      F.when(F.xxhash64(F.lit(seed), F.col("id")) % 2 == 0,
+                             F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w")))
+    vex = v.select(id_col, F.posexplode("v").alias("d", "x"))
+    proj = (vex.join(F.broadcast(planes), "d")
+            .groupBy(id_col, "tbl", "plane")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
+    sig = (proj.groupBy(id_col, "tbl")
+           .agg(F.sum(F.when(F.col("s") >= 0,
+                             F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+                      .otherwise(F.lit(0).cast("long"))).alias("sig")))
+    buckets = v.join(sig, id_col).select(id_col, "v", "tbl", "sig")
+    probes = buckets.where(F.col(id_col).isin(list(probe_ids)))
+    cand = (buckets.alias("c").join(
+        F.broadcast(probes.alias("p")),
+        (F.col("c.tbl") == F.col("p.tbl")) & (F.col("c.sig") == F.col("p.sig"))
+        & (F.col(f"c.{id_col}") != F.col(f"p.{id_col}")))
+        .select(F.col(f"p.{id_col}").alias("probe_id"),
+                F.col(f"c.{id_col}").alias("neighbor_id"),
+                F.col("p.v").alias("pv"), F.col("c.v").alias("cv"))
+        .distinct())
+    dot = F.aggregate(F.zip_with("pv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, b: a + b)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                        F.lit(0.0), lambda a, b: a + b))
+    scored = cand.select("probe_id", "neighbor_id",
+                         (dot / (norm(F.col("pv")) * norm(F.col("cv")))).alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cosine"))

@@ -1,0 +1,199 @@
+"""Text analytics + deduplication operators for training-data pipelines.
+
+All hot paths are JVM-side (built-in functions inside whole-stage codegen);
+no Python UDFs anywhere in this module. Columns are integer-typed where the
+results feed exact-match verification.
+
+Scale notes:
+* exact dedup = hash aggregate on a text digest (never on raw text at 100 TB
+  — group on ``xxhash64``/``md5`` so the shuffle carries 16 bytes per row).
+* n-gram Jaccard = shingle-inverted-index self-join: shuffle keyed on the
+  shingle, so common shingles are the skew risk — ``doc_freq_cap`` drops
+  ultra-common shingles (stop-shingles), the standard trick, before the join.
+* MinHash/LSH variants (see ``minhash_dedup``) bound candidate pairs at
+  planetary scale where exact self-join is too big.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "token_stats",
+    "exact_dup_groups",
+    "word_shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_dedup",
+    "simhash64",
+    "fingerprint",
+]
+
+_DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                stopwords: tuple[str, ...] = _DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-document token statistics (quality-scoring inputs): token count,
+    distinct-token count, stopword count, char count. Whitespace
+    tokenization (single space; the corpus generator emits single-spaced
+    text — mirror in oracles)."""
+    toks = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long").alias("n_stopwords"),
+        F.length(text_col).cast("long").alias("n_chars_text"),
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: digest -> (keep_id, n_copies). Groups by
+    md5(text) so the shuffle key is fixed-width; ``keep_id`` = min id is the
+    canonical survivor (deterministic)."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") > 1))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document. Built with
+    ``transform(sequence(...))`` — pure JVM, no UDF, no join."""
+    ws = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    # filter BEFORE projecting text away; sequence(0, negative) descends.
+    return (df.where(F.size(ws) >= n)
+            .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")))
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold_pct: int = 80,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  doc_freq_cap: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard >= threshold_pct/100.
+
+    Inverted-index self-join: pairs sharing >=1 shingle are candidates; the
+    Jaccard test is pure integer arithmetic
+    (``100*shared >= pct*(|A|+|B|-shared)``) so results are exact and
+    hash-comparable. ``doc_freq_cap`` drops shingles appearing in more than
+    that many docs before the join (skew guard; alters recall only for pairs
+    whose every shared shingle is ultra-common)."""
+    sh = word_shingles(df, n, text_col, id_col)
+    if doc_freq_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (sh.join(F.broadcast(freq.where(F.col("df") > doc_freq_cap)),
+                      "shingle", "left_anti"))
+    sh = sh.cache()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                       F.col(f"b.{id_col}").alias("doc_b"))
+              .agg(F.count("*").alias("shared")))
+    ca = counts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
+    cb = counts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (shared.join(ca, "doc_a").join(cb, "doc_b")
+            .where(F.lit(100) * F.col("shared")
+                   >= F.lit(threshold_pct) * (F.col("n_a") + F.col("n_b") - F.col("shared")))
+            .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures over word n-gram shingles, fully JVM-side:
+    h_i(s) = xxhash64(s, seed=i); signature_i = min over shingles.
+    One row per (doc, i) -> pivoted to an array column."""
+    sh = word_shingles(df, n, text_col, id_col)
+    hashed = sh.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     F.xxhash64(F.col("shingle"), F.lit(i)).alias("h"))
+            for i in range(num_hashes)
+        ])).alias("e"),
+    ).select(id_col, F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    return (hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+            .groupBy(id_col)
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                             lambda s: s["mh"]).alias("signature")))
+
+
+def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
+                  bands: int = 16, threshold_pct: int = 80,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
+
+    Scale path for dedup: signatures -> band keys -> group by band bucket ->
+    candidate pairs -> exact verify. Probabilistic recall (a truly-similar
+    pair missed by every band is possible, P ~ (1-s^r)^b); the exact verify
+    step makes precision 1.0 relative to ``jaccard_pairs``."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("signature", b * rows + r + 1)
+                                for r in range(rows)]), F.lit(b)).alias("bucket"))
+            for b in range(bands)
+        ])).alias("e"),
+    ).select(id_col, "e.band", "e.bucket")
+    cand = (banded.alias("x").join(
+        banded.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("doc_a"),
+                F.col(f"y.{id_col}").alias("doc_b"))
+        .distinct())
+    exact = jaccard_pairs(df, n, threshold_pct, text_col, id_col)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "shared", "n_a", "n_b")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, JVM-side: per token compute
+    xxhash64, then for each bit position sum +/-1 across tokens and take the
+    sign. Hamming-close simhashes ~ similar token multisets."""
+    tok = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    h = tok.select(id_col, F.xxhash64("t").alias("h"))
+    one = F.lit(1).cast("long")
+    bit_cols = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft keeps the arithmetic on the JVM (1<<63 overflows a
+        # Python-literal long in F.lit; as a JVM shift it wraps to the sign
+        # bit, which is fine for a fingerprint).
+        sim = sim + F.when(F.col(f"b{b}") > 0,
+                           F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min xxhash64 over each block of
+    ``window`` tokens -> set of selected hashes (content-defined sampling).
+    Used for fast containment checks."""
+    ws = F.split(F.col(text_col), " ")
+    n_blocks = ((F.size(ws) - 1) / window).cast("int")  # floor for positives
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks),
+        lambda i: F.array_min(F.transform(F.slice(ws, i * window + 1, window),
+                                          lambda t: F.xxhash64(t))),
+    )
+    return df.select(F.col(id_col), F.array_distinct(blocks).alias("fingerprint"))

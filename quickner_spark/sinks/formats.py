@@ -1,0 +1,167 @@
+"""Serialization sinks K1-K7 (SURVEY.md §2.2) with reference format parity.
+
+Dispatch mirrors Format::save (quickner-core/src/models.rs:39-47). Every
+format quirk is replicated on purpose (and flagged in the docstrings):
+
+* K3 "csv" writes JSON lines with a .csv extension (models.rs:92-102).
+* K4 brat uses char offsets as byte offsets when slicing (models.rs:114) —
+  we slice by chars (safe superset; identical for ASCII) and note it.
+* K5 CoNLL assigns the label to the FIRST whitespace token that *contains*
+  the surface as a substring; no B-/I- prefixes (models.rs:123-165).
+* K7 spaCy generator uses the misspelled key ``"entitiy"``
+  (src/pyquickner.rs:373).
+
+Two write paths per format:
+* ``*_lines(df)`` — a DataFrame of formatted lines: the distributed path
+  (``.write.text``), scales to any size.
+* ``to_*(df, path)`` — single local file for byte-parity with the
+  reference CLI (driver-side iteration; small outputs only).
+
+The path always has its extension replaced like Format::
+remove_extension_from_path (models.rs:49-55).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
+    "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
+]
+
+
+def _strip_ext(path: str) -> str:
+    """models.rs:49-55 — truncate at the LAST dot anywhere in the path."""
+    if "." in path:
+        return path[: path.rindex(".")]
+    return path
+
+
+def _doc_json(doc_id: str, text: str, label) -> str:
+    """serde_json-compatible compact encoding: {"id","text","label":[[s,e,l]]}."""
+    payload = {"id": doc_id, "text": text,
+               "label": [[int(s), int(e), l] for s, e, l in label]}
+    return json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
+
+
+def _iter_docs(df: DataFrame) -> Iterator[tuple[str, str, list]]:
+    for row in df.select("id", "text", "label").toLocalIterator():
+        label = [(s["start"], s["end"], s["label"]) for s in (row["label"] or [])]
+        yield row["id"], row["text"], label
+
+
+def jsonl_lines(df: DataFrame) -> DataFrame:
+    """K1 distributed path: one JSON line per document, built JVM-side."""
+    return df.select(F.to_json(F.struct(
+        F.col("id"), F.col("text"),
+        F.transform("label", lambda s: F.array(
+            s["start"].cast("string"), s["end"].cast("string"), s["label"]))
+        .alias("label"))).alias("value"))
+
+
+def to_jsonl(df: DataFrame, path: str) -> str:
+    """K1 — models.rs:80-90."""
+    out = _strip_ext(path) + ".jsonl"
+    with open(out, "w", encoding="utf-8") as fh:
+        for doc_id, text, label in _iter_docs(df):
+            fh.write(_doc_json(doc_id, text, label))
+            fh.write("\n")
+    return _strip_ext(path)
+
+
+def to_csv(df: DataFrame, path: str) -> str:
+    """K3 — quirk: JSON lines under a .csv extension (models.rs:92-102)."""
+    out = _strip_ext(path) + ".csv"
+    with open(out, "w", encoding="utf-8") as fh:
+        for doc_id, text, label in _iter_docs(df):
+            fh.write(_doc_json(doc_id, text, label))
+            fh.write("\n")
+    return _strip_ext(path)
+
+
+def to_spacy(df: DataFrame, path: str) -> str:
+    """K2 — single JSON array [[text, {"entity": [[s,e,l],...]}], ...]
+    (models.rs:57-78; note the CORRECT spelling here, unlike K7)."""
+    out = _strip_ext(path) + ".json"
+    docs = [[text, {"entity": [[int(s), int(e), l] for s, e, l in label]}]
+            for _, text, label in _iter_docs(df)]
+    with open(out, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(docs, separators=(",", ":"), ensure_ascii=False))
+    return _strip_ext(path)
+
+
+def to_brat(df: DataFrame, path: str) -> str:
+    """K4 — {path}.txt (one text per line) + {path}.ann with
+    ``T{id}\\t{label}\\t{start}\\t{end}\\t{surface}``; the entity counter
+    resets per document while all docs share one file (models.rs:104-121).
+    The reference slices text[start..end] treating char offsets as byte
+    offsets (panics on non-ASCII); we slice by chars — identical output for
+    ASCII, well-defined for the rest."""
+    base = _strip_ext(path)
+    with open(base + ".txt", "w", encoding="utf-8") as ftxt, \
+            open(base + ".ann", "w", encoding="utf-8") as fann:
+        for _, text, label in _iter_docs(df):
+            ftxt.write(text)
+            ftxt.write("\n")
+            for i, (s, e, lab) in enumerate(label):
+                fann.write(f"T{i}\t{lab}\t{s}\t{e}\t{text[s:e]}\n")
+    return base
+
+
+def to_conll(df: DataFrame, path: str) -> str:
+    """K5 — whitespace tokens, label assigned to the FIRST token containing
+    the surface as a substring, others "O"; token\\tlabel lines, blank line
+    between documents (models.rs:123-165). Multi-token entities collapse to
+    one token — reference quirk, replicated."""
+    out = _strip_ext(path) + ".txt"
+    with open(out, "w", encoding="utf-8") as fh:
+        for _, text, label in _iter_docs(df):
+            words = text.split()
+            tags = ["O"] * len(words)
+            for s, e, lab in label:
+                surface = text[s:e]
+                for idx, w in enumerate(words):
+                    if surface in w:
+                        tags[idx] = lab
+                        break
+            for w, t in zip(words, tags):
+                fh.write(f"{w}\t{t}\n")
+            fh.write("\n")
+    return _strip_ext(path)
+
+
+def save_annotations(df: DataFrame, path: str, format: str = "jsonl") -> str:
+    """Format dispatch (models.rs:39-47 / pyquickner.rs:207-225)."""
+    fn = {"jsonl": to_jsonl, "csv": to_csv, "spacy": to_spacy,
+          "brat": to_brat, "conll": to_conll}[format]
+    return fn(df, path)
+
+
+def to_numpy(df: DataFrame):
+    """K6 — object ndarray of (id, text, [(s,e,label),...]) rows
+    (src/pyquickner.rs:398-448); Arrow-accelerated collect."""
+    import numpy as np
+
+    rows = [(doc_id, text, label) for doc_id, text, label in _iter_docs(df)]
+    return np.array(rows, dtype=object)
+
+
+def spacy_generator(df: DataFrame, chunks: int | None = None):
+    """K7 — iterator of chunks of [(text, {"entitiy": [...]}), ...].
+
+    ``chunks`` is the CHUNK SIZE despite the name (quickner.rs:694-715;
+    asserted by tests/test.py:143-155: 5 docs, chunks=2 -> 3 chunks).
+    The key is misspelled "entitiy" for parity (src/pyquickner.rs:373).
+    """
+    docs = [(text, {"entitiy": [(int(s), int(e), l) for s, e, l in label]})
+            for _, text, label in _iter_docs(df)]
+    size = chunks if chunks else len(docs)
+    if size <= 0:
+        size = max(len(docs), 1)
+    for i in range(0, len(docs), size):
+        yield docs[i:i + size]

@@ -1,0 +1,58 @@
+"""Similarity-search operator tests: exact baselines + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickner_spark.operators import simsearch as ss
+
+SF = "/root/testdata/sf0.001"
+PROBES = [0, 1, 2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_quantized_ip_matches_local_numpy(spark, emb):
+    import numpy as np
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = ss.topk_quantized_ip(emb, k=5, probe_ids=[0]).collect()
+    q = {k: np.round(v * 1000).astype(np.int64) for k, v in rows.items()}
+    scores = sorted(((int(q[0] @ q[j]), j) for j in q if j != 0),
+                    key=lambda t: (-t[0], t[1]))[:5]
+    expect = [(j, r + 1, s) for r, (s, j) in enumerate(scores)]
+    assert [(r["neighbor_id"], r["rank"], r["score"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == expect
+
+
+def test_cosine_topk_sane(emb):
+    got = ss.cosine_topk(emb, k=5, probe_ids=PROBES)
+    rows = got.collect()
+    assert len(rows) == len(PROBES) * 5
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+
+
+def test_lsh_recall_vs_exact(emb):
+    exact = {(r["probe_id"], r["neighbor_id"])
+             for r in ss.cosine_topk(emb, k=5, probe_ids=PROBES).collect()}
+    # random 64-dim embeddings have near-orthogonal neighbors: per-table
+    # bucket-collision prob ~ 0.62^planes, recall ~ 1-(1-p)^tables.
+    # 4 planes x 16 tables => ~0.9 expected; assert with slack.
+    approx = {(r["probe_id"], r["neighbor_id"])
+              for r in ss.lsh_topk(emb, k=5, probe_ids=PROBES,
+                                   n_planes=4, n_tables=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # approximate by design; catches breakage
+
+
+def test_lsh_deterministic(emb):
+    a = sorted(map(tuple, ss.lsh_topk(emb, k=3, probe_ids=[0]).collect()))
+    b = sorted(map(tuple, ss.lsh_topk(emb, k=3, probe_ids=[0]).collect()))
+    assert a == b

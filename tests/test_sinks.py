@@ -1,0 +1,93 @@
+"""Format-parity tests for the sinks (K1-K7 quirks per SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quickner_spark.api import Document, Entity, Quickner
+from quickner_spark.sinks import formats as sk
+from quickner_spark.sources import from_jsonl, from_spacy
+
+from tests.test_matcher import ENTITIES, TEXTS
+
+
+@pytest.fixture(scope="module")
+def processed(spark):
+    q = Quickner(documents=[Document(t) for t in TEXTS],
+                 entities=[Entity(*e) for e in ENTITIES], spark=spark)
+    q.process()
+    return q
+
+
+def test_jsonl_roundtrip(processed, spark, tmp_path):
+    path = str(tmp_path / "out.whatever")
+    base = processed.save_annotations(path, "jsonl")
+    assert base == str(tmp_path / "out")
+    lines = open(base + ".jsonl").read().splitlines()
+    assert len(lines) == 5
+    rec = json.loads(lines[0])
+    assert set(rec) == {"id", "text", "label"}
+    assert rec["text"] == TEXTS[0].lower()
+    assert [tuple(l) for l in rec["label"]] == [(0, 4, "PL"), (16, 23, "ORG")]
+    # compact serde-style encoding: no spaces after separators
+    assert ": " not in lines[0].split('"text"')[0]
+    # S4 reload + gazetteer inference (quickner.rs:585-635)
+    docs_df, ents_df = from_jsonl(spark, base + ".jsonl")
+    assert docs_df.count() == 5
+    inferred = {(r["name"], r["label"]) for r in ents_df.collect()}
+    assert ("rust", "PL") in inferred
+    assert ("sun microsystems", "ORG") in inferred
+
+
+def test_csv_quirk_writes_json_lines(processed, tmp_path):
+    path = str(tmp_path / "out.csv")
+    processed.save_annotations(path, "csv")
+    first = open(str(tmp_path / "out.csv")).readline()
+    json.loads(first)  # models.rs:92-102: JSON payload despite .csv
+
+
+def test_spacy_file_and_reload(processed, spark, tmp_path):
+    path = str(tmp_path / "sp.json")
+    processed.save_annotations(path, "spacy")
+    data = json.loads(open(str(tmp_path / "sp.json")).read())
+    assert len(data) == 5
+    text, ent = data[0]
+    assert text == TEXTS[0].lower()
+    assert ent == {"entity": [[0, 4, "PL"], [16, 23, "ORG"]]}  # correct spelling here
+    docs_df, ents_df = from_spacy(spark, str(tmp_path / "sp.json"))
+    assert docs_df.count() == 5
+    assert ents_df.count() >= 9
+
+
+def test_brat_output(processed, tmp_path):
+    base = processed.save_annotations(str(tmp_path / "b.out"), "brat")
+    txt = open(base + ".txt").read().splitlines()
+    ann = open(base + ".ann").read().splitlines()
+    assert len(txt) == 5
+    assert ann[0] == "T0\tPL\t0\t4\trust"
+    # counter resets per document (models.rs:113)
+    assert sum(1 for l in ann if l.startswith("T0\t")) == 5
+
+
+def test_conll_contains_heuristic(processed, tmp_path):
+    base = processed.save_annotations(str(tmp_path / "c.x"), "conll")
+    blocks = open(base + ".txt").read().split("\n\n")
+    first = [l.split("\t") for l in blocks[0].splitlines()]
+    # "rust is made by mozilla": first token containing "rust" gets PL
+    assert first[0] == ["rust", "PL"]
+    assert first[1] == ["is", "O"]
+    assert first[4] == ["mozilla", "ORG"]
+    # multi-token entity collapses to ONE token (quirk, models.rs:136-146):
+    # "sun microsystems" labels token "sun"? No: first token CONTAINING the
+    # full surface — multi-token surfaces match no single token, so all "O".
+    third = [l.split("\t") for l in blocks[2].splitlines()]
+    assert ["sun", "O"] in third and ["microsystems,", "O"] not in third
+
+
+def test_numpy_export(processed):
+    arr = processed.numpy()
+    assert arr.shape[0] == 5
+    assert arr[0][1] == TEXTS[0].lower()
+    assert list(arr[0][2][0]) == [0, 4, "PL"]

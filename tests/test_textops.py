@@ -1,0 +1,76 @@
+"""Dedup-family + text-analytics operator tests on real testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickner_spark.operators import textops as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_on_duplicated_input(spark, docs):
+    dups = tx.exact_dup_groups(docs.unionAll(docs))
+    assert dups.count() == docs.count()
+    row = dups.first()
+    assert row["n_copies"] == 2
+
+
+def test_token_stats_reconcile(docs):
+    st = tx.token_stats(docs)
+    row = (st.join(docs, "doc_id")
+           .select("n_tokens", "n_chars_text", "n_chars").first())
+    assert row["n_chars_text"] == row["n_chars"]
+    assert row["n_tokens"] >= 1
+
+
+def test_jaccard_pairs_symmetric_bounds(docs):
+    pairs = tx.jaccard_pairs(docs, n=3, threshold_pct=80).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["shared"] <= min(r["n_a"], r["n_b"])
+
+
+def test_minhash_dedup_recall_vs_exact(docs):
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in tx.jaccard_pairs(docs, 3, 80).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in tx.minhash_dedup(docs, 3, num_hashes=64, bands=16,
+                                     threshold_pct=80).collect()}
+    assert lsh <= exact  # exact-verified: no false positives
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.9, (recall, len(lsh), len(exact))
+
+
+def test_doc_freq_cap_drops_common_shingles(docs):
+    capped = tx.jaccard_pairs(docs, n=1, threshold_pct=10, doc_freq_cap=5)
+    uncapped = tx.jaccard_pairs(docs, n=1, threshold_pct=10)
+    # unigram shingles are all ultra-common: the cap removes everything
+    assert capped.count() < uncapped.count()
+
+
+def test_simhash_similar_docs_close(docs):
+    sim = tx.simhash64(docs)
+    pairs = tx.jaccard_pairs(docs, 3, 80)
+    joined = (pairs
+              .join(sim.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("simhash", "h_a"), "doc_a")
+              .join(sim.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("simhash", "h_b"), "doc_b"))
+    ham = joined.select(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                        .alias("d")).collect()
+    assert ham, "no near-dup pairs to compare"
+    avg = sum(r["d"] for r in ham) / len(ham)
+    assert avg <= 8, avg  # near-dups should be hamming-close
+
+
+def test_fingerprint_shape(docs):
+    fp = tx.fingerprint(docs).first()
+    assert len(fp["fingerprint"]) >= 1
