@@ -173,16 +173,21 @@ def q11_knn_quantized_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule triple extraction: mention-pair + connective pattern."""
+    """North-rule triple extraction: mention-pair + connective pattern.
+    Mentions are cached: the self-join references the mapInPandas stage
+    twice and must not run the matcher twice."""
     docs = _docs(spark, sf_dir)
-    return pattern_triples(_mentions(spark, sf_dir), docs, PREDICATES)
+    m = _mentions(spark, sf_dir).cache()
+    m.count()  # materialize before the self-join references it twice
+    return pattern_triples(m, docs, PREDICATES)
 
 
 def q13_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule canonicalization: connected components over the
     adjacent-surface co-occurrence graph (iterative min-label propagation;
     oracle is a recursive-CTE transitive closure)."""
-    m = _mentions(spark, sf_dir)
+    m = _mentions(spark, sf_dir).cache()
+    m.count()  # materialize before the self-join references it twice
     m1 = m.select("doc_id", F.col("end").alias("e"), F.col("surface").alias("u"))
     m2 = m.select("doc_id", F.col("start").alias("s"), F.col("surface").alias("v"))
     edges = (m1.join(m2, "doc_id")
@@ -213,6 +218,22 @@ def q16_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword profiles, argmax with deterministic
+    tie-break; training-data op)."""
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+def q18_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, integer-exact quantized predicate."""
+    return ss.embedding_dup_pairs(_emb(spark, sf_dir), threshold_pct=40)
+
+
+def q19_salted_entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via salted two-stage aggregation (skew path) — must equal q05."""
+    return ix.entity_index_salted(_mentions(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -236,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_minhash_dedup": q14_minhash_dedup,
         "q15_simhash": q15_simhash,
         "q16_lsh_knn": q16_lsh_knn,
+        "q17_lang_id": q17_lang_id,
+        "q18_embedding_dups": q18_embedding_dups,
+        "q19_salted_entity_index": q19_salted_entity_index,
     }
 
 
@@ -365,4 +389,59 @@ reach(node, anc) AS (
 )
 SELECT node, min(anc) AS component FROM reach GROUP BY node
 """,
+        "q17_lang_id": _langid_sql(),
+        "q18_embedding_dups": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                      i -> qv[i] * qv[i])) AS BIGINT) AS n2
+  FROM q
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         a.n2 AS n2_a, b.n2 AS n2_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot, n2_a, n2_b
+FROM p WHERE dot > 0 AND dot * dot * 10000 >= 1600 * n2_a * n2_b
+""",
+        "q19_salted_entity_index": f"""
+WITH {cte}
+SELECT lower(surface) AS surface, count(DISTINCT doc_id) AS n_docs
+FROM mentions GROUP BY 1
+""",
     }
+
+
+def _langid_sql() -> str:
+    from quickner_spark.operators.textops import LANG_PROFILES
+
+    profs = ", ".join(
+        "('{}', [{}])".format(code, ", ".join(f"'{w}'" for w in words))
+        for code, words in sorted(LANG_PROFILES.items()))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+l(code, words) AS (VALUES {profs}),
+s AS (
+  SELECT t.doc_id, l.code,
+         CAST(len(list_filter(t.toks, x -> list_contains(l.words, x))) AS BIGINT) AS hits
+  FROM t CROSS JOIN l
+),
+b AS (
+  SELECT doc_id, code, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, code) AS rn
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN code ELSE 'und' END AS lang_guess,
+       hits AS lang_hits
+FROM b WHERE rn = 1
+"""

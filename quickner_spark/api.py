@@ -152,6 +152,8 @@ class Quickner:
             case_sensitive=cfg.entities.filters.case_sensitive,
             excludes=excludes)
         self.entities = [Entity(n, l) for n, l in gaz]
+        # A6 — "number of unique checks" work metric (quickner.rs:460-470)
+        self.last_check_count = len(self.entities) * len(self.documents)
         annotated = annotate_documents(
             self._documents_df(), gaz, text_col="text",
             case_sensitive=cfg.texts.filters.case_sensitive)

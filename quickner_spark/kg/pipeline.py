@@ -163,12 +163,15 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                 .groupBy("src", "dst", "pred")
                 .agg(F.count("*").alias("weight")))
 
+    # partition layout: mention/triple tables by label/pred (low-cardinality,
+    # prunable); with an Iceberg catalog these become
+    # writeTo(...).partitionedBy(bucket(N, "url"), "pred").
     return Pipeline(spark, base_dir, [
         Stage("extract", s_extract),
-        Stage("mentions", s_mentions),
+        Stage("mentions", s_mentions, partition_by=("label",)),
         Stage("linked", s_linked),
-        Stage("triples", s_triples),
+        Stage("triples", s_triples, partition_by=("pred",)),
         Stage("aliases", s_aliases),
         Stage("nodes", s_nodes),
-        Stage("edges", s_edges),
+        Stage("edges", s_edges, partition_by=("pred",)),
     ])

@@ -18,6 +18,8 @@ __all__ = [
     "docs_by_entity",
     "label_index",
     "entity_index",
+    "entity_index_salted",
+    "salted_distinct_count",
 ]
 
 
@@ -49,6 +51,37 @@ def label_index(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """A2 — label -> sorted distinct doc ids (materialized form)."""
     return (mentions.groupBy("label")
             .agg(F.sort_array(F.collect_set(id_col)).alias(f"{id_col}s")))
+
+
+def salted_distinct_count(df: DataFrame, key, value_col: str,
+                          out_col: str = "n_distinct",
+                          buckets: int = 32) -> DataFrame:
+    """Two-stage salted COUNT(DISTINCT value) GROUP BY key — the head-key
+    skew pattern (north rule: head entities / hot domains).
+
+    Salt = hash(value) % buckets, so every distinct value lands in exactly
+    one (key, salt) cell: per-cell distinct counts SUM to the global
+    distinct count with no overlap. Stage 1 spreads a hot key over
+    ``buckets`` reducers; stage 2 combines ``buckets`` tiny rows per key.
+    Identical results to a direct countDistinct (asserted in tests).
+    """
+    key_col = key if isinstance(key, str) else key
+    stage1 = (df.withColumn("__salt", F.pmod(F.xxhash64(value_col), F.lit(buckets)))
+              .groupBy(key_col, "__salt")
+              .agg(F.countDistinct(value_col).alias("__pc")))
+    name = key_col if isinstance(key_col, str) else "key"
+    return (stage1.groupBy(name)
+            .agg(F.sum("__pc").alias(out_col)))
+
+
+def entity_index_salted(mentions: DataFrame, id_col: str = "doc_id",
+                        buckets: int = 32) -> DataFrame:
+    """A3 at web scale: surface -> distinct-doc count via salted two-stage
+    aggregation. Head surfaces (the 'apple' problem) no longer serialize on
+    one reducer."""
+    keyed = mentions.select(F.lower("surface").alias("surface"), id_col)
+    return salted_distinct_count(keyed, "surface", id_col, out_col="n_docs",
+                                 buckets=buckets)
 
 
 def entity_index(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:

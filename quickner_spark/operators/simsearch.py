@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk"]
+__all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk",
+           "embedding_dup_pairs"]
 
 
 def _quantize(col, scale: int = 1000):
@@ -73,6 +74,38 @@ def cosine_topk(df: DataFrame, k: int = 5, probe_ids=None,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("probe_id", "neighbor_id", "rank", "cosine"))
+
+
+def embedding_dup_pairs(df: DataFrame, threshold_pct: int = 95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        scale: int = 100) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, integer-exact.
+
+    cos(a,b) >= t  <=>  dot > 0  AND  dot^2 * 100^2 >= t_pct^2 * |a|^2 |b|^2
+    over quantized integer vectors — no float comparisons, so results are
+    bit-reproducible across engines (the SQL oracle states the same
+    inequality). ``scale=100`` keeps dot^2*10^4 within int64 for unit-norm
+    64..1024-dim vectors.
+
+    Brute-force self-join baseline (id_a < id_b). At corpus scale, block
+    with ``lsh_topk``-style bucketing first and verify candidates with this
+    predicate.
+    """
+    q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
+    q = q.withColumn("n2", _int_dot(F.col("q"), F.col("q")))
+    a = q.select(F.col(id_col).alias("id_a"), F.col("q").alias("qa"),
+                 F.col("n2").alias("n2_a"))
+    b = q.select(F.col(id_col).alias("id_b"), F.col("q").alias("qb"),
+                 F.col("n2").alias("n2_b"))
+    dot = _int_dot(F.col("qa"), F.col("qb"))
+    t2 = threshold_pct * threshold_pct
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("dot", dot)
+            .where((F.col("dot") > 0)
+                   & (F.col("dot") * F.col("dot") * F.lit(10000)
+                      >= F.lit(t2) * F.col("n2_a") * F.col("n2_b")))
+            .select("id_a", "id_b", "dot",
+                    F.col("n2_a"), F.col("n2_b")))
 
 
 def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,

@@ -27,9 +27,50 @@ __all__ = [
     "minhash_dedup",
     "simhash64",
     "fingerprint",
+    "lang_id",
 ]
 
 _DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in")
+
+# Minimal per-language stopword profiles for the n-gram/stopword heuristic.
+# Real deployments swap richer profiles; the operator shape is the point.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "von", "zu", "ist"),
+    "fr": ("le", "la", "et", "de", "un", "est", "dans"),
+    "es": ("el", "la", "y", "de", "un", "es", "en"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Stopword-profile language ID: per language count profile-token hits;
+    argmax with deterministic tie-break (language code asc); 'und'
+    (undetermined) when nothing hits. Pure JVM columns."""
+    profiles = profiles or LANG_PROFILES
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = []
+    for code, words in sorted(profiles.items()):
+        # NB: a one-parameter lambda only — a second parameter would make
+        # F.filter pass the element index into it.
+        word_arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t)))
+        scores.append(F.struct(hits.cast("long").alias("hits"),
+                               F.lit(code).alias("code")))
+    # argmax by (hits desc, code asc): array_max on struct(hits, negated
+    # order) is awkward — use aggregate over the struct array instead.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).cast("long").alias("hits"),
+                 F.lit("").alias("code")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        best["hits"].alias("lang_hits"),
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1,0 +1,75 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster launch (north rule shape):
+
+    cd /root/repo && zip -qr /tmp/quickner_spark.zip quickner_spark
+    spark-submit --py-files /tmp/quickner_spark.zip \
+        scripts/run_kg_pipeline.py \
+        --pages /data/pages --out /data/kg --n-docs 0
+
+Local sandbox run (generates a synthetic pages table first):
+
+    python scripts/run_kg_pipeline.py --out /tmp/kg --n-docs 10000
+
+Stages are resumable: rerunning with the same --out skips committed stages
+(delete a stage dir to force recompute). Per-partition metrics land under
+<out>/_metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quickner_spark.kg import corpus  # noqa: E402
+from quickner_spark.kg.pipeline import build_kg_pipeline  # noqa: E402
+from quickner_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", default=None,
+                    help="existing pages parquet/Iceberg path; omit to synthesize")
+    ap.add_argument("--out", required=True, help="pipeline output base dir")
+    ap.add_argument("--n-docs", type=int, default=10_000,
+                    help="synthetic corpus size when --pages is omitted")
+    ap.add_argument("--gazetteer-size", type=int, default=999)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--force", action="store_true",
+                    help="recompute every stage even if committed")
+    args = ap.parse_args()
+
+    spark = get_spark("quickner-kg-pipeline", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    pages_path = args.pages
+    if pages_path is None:
+        pages_path = os.path.join(args.out, "pages")
+        if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+            corpus.synth_pages(spark, args.n_docs, seed=args.seed,
+                               gaz_size=args.gazetteer_size) \
+                .write.mode("overwrite").parquet(pages_path)
+
+    gaz = corpus.synth_gazetteer(args.gazetteer_size, args.seed)
+    pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
+                             corpus.PREDICATES)
+    t0 = time.time()
+    status = pipe.run(force=args.force)
+    wall = time.time() - t0
+    counts = {s: pipe.table(s).count() for s in status}
+    print(json.dumps({"status": status, "rows": counts,
+                      "wall_sec": round(wall, 2),
+                      "triples_per_sec": round(
+                          counts.get("triples", 0) / max(wall, 1e-9), 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
