@@ -27,6 +27,7 @@ from quickner_spark.operators import indexes as ix
 from quickner_spark.operators import textops as tx
 from quickner_spark.operators import simsearch as ss
 from quickner_spark.operators.graph import connected_components
+from quickner_spark.operators import events as ev
 from quickner_spark.kg.triples import pattern_triples
 
 # ---------------------------------------------------------------------------
@@ -234,6 +235,24 @@ def q19_salted_entity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.entity_index_salted(_mentions(spark, sf_dir))
 
 
+def q20_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (batch twin of the streaming
+    windowed counts)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.tumbling_window_stats(events, minutes=10)
+
+
+def q21_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + cumsum window) -> per-user session stats."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.session_stats(events, gap_minutes=30)
+
+
+def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (integer/percent heuristics)."""
+    return tx.quality_score(_docs(spark, sf_dir), stopwords=STOPWORDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -260,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_lang_id": q17_lang_id,
         "q18_embedding_dups": q18_embedding_dups,
         "q19_salted_entity_index": q19_salted_entity_index,
+        "q20_event_windows": q20_event_windows,
+        "q21_sessions": q21_sessions,
+        "q22_quality_score": q22_quality_score,
     }
 
 
@@ -390,6 +412,58 @@ reach(node, anc) AS (
 SELECT node, min(anc) AS component FROM reach GROUP BY node
 """,
         "q17_lang_id": _langid_sql(),
+        "q20_event_windows": """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(floor(sum(value)) AS BIGINT) AS sum_value_fl
+FROM events GROUP BY 1, 2
+""",
+        "q21_sessions": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+  FROM g
+),
+per AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, max(session_id) AS n_sessions,
+       max(n) AS max_session_events
+FROM per GROUP BY user_id
+""",
+        "q22_quality_score": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({stop_list}))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars, n_tok,
+         CASE WHEN n_tok > 0 THEN CAST(floor(100.0 * n_stop / n_tok) AS BIGINT) ELSE 0 END AS stop_pct,
+         CASE WHEN n_tok > 0 THEN CAST(floor(100.0 * n_distinct / n_tok) AS BIGINT) ELSE 0 END AS distinct_pct,
+         CASE WHEN n_chars > 0 THEN CAST(floor(100.0 * n_punct / n_chars) AS BIGINT) ELSE 0 END AS punct_pct,
+         CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1 ELSE 0 END AS length_ok
+  FROM t
+)
+SELECT doc_id, n_chars AS n_chars_text, n_tok AS n_tokens,
+       stop_pct, distinct_pct, punct_pct,
+       least(stop_pct * 2, 30) + least(CAST(floor(distinct_pct / 2.0) AS BIGINT), 40)
+       + greatest(20 - punct_pct, 0) + length_ok * 10 AS quality
+FROM p
+""",
         "q18_embedding_dups": """
 WITH q AS (
   SELECT vec_id,

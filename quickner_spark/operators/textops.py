@@ -42,6 +42,45 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  stopwords: tuple[str, ...] = _DEFAULT_STOPWORDS) -> DataFrame:
+    """Document quality heuristics (training-data filtering): length,
+    punctuation ratio, stopword ratio, distinct-token ratio, and a
+    composite 0..100 integer score. Integer/percent outputs so results are
+    exact across engines."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_punct = (n_chars - F.length(F.regexp_replace(
+        text_col, r"[!-/:-@\[-`{-~]", ""))).cast("long")
+    # floor division everywhere: double->int CASTs round differently across
+    # engines (Spark truncates, DuckDB rounds) — floor is unambiguous.
+    pct = lambda num, den: F.when(
+        den > 0, F.floor(F.lit(100) * num / den).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    stop_pct = pct(n_stop, n_tok)
+    distinct_pct = pct(n_distinct, n_tok)
+    punct_pct = pct(n_punct, n_chars)
+    length_ok = ((n_chars >= 50) & (n_chars <= 100_000)).cast("long")
+    # composite: reward stopword presence (fluency), lexical diversity,
+    # low punctuation noise, sane length
+    score = (F.least(stop_pct * 2, F.lit(30).cast("long"))
+             + F.least(F.floor(distinct_pct / 2).cast("long"),
+                       F.lit(40).cast("long"))
+             + F.greatest(F.lit(20).cast("long") - punct_pct,
+                          F.lit(0).cast("long"))
+             + length_ok * 10)
+    return df.select(F.col(id_col), n_chars.alias("n_chars_text"),
+                     n_tok.alias("n_tokens"), stop_pct.alias("stop_pct"),
+                     distinct_pct.alias("distinct_pct"),
+                     punct_pct.alias("punct_pct"),
+                     score.alias("quality"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Stopword-profile language ID: per language count profile-token hits;

@@ -1,0 +1,61 @@
+"""Event-table operator tests: windows + sessionization vs local replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from quickner_spark.operators import events as ev
+from quickner_spark.operators import textops as tx
+
+
+@pytest.fixture(scope="module")
+def toy_events(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 45 min between event 2 and 3)
+        (1, t0, "click", 1.0),
+        (1, t0 + dt.timedelta(minutes=10), "click", 2.0),
+        (1, t0 + dt.timedelta(minutes=55), "view", 3.0),
+        # user 2: one session of 3 events
+        (2, t0 + dt.timedelta(minutes=1), "view", 1.5),
+        (2, t0 + dt.timedelta(minutes=20), "view", 2.5),
+        (2, t0 + dt.timedelta(minutes=40), "click", 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+
+
+def test_sessionize_gap_semantics(toy_events):
+    s = ev.sessionize(toy_events, gap_minutes=30)
+    got = {(r["user_id"], r["ts"].minute): r["session_id"]
+           for r in s.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 10)] == 1 and got[(1, 55)] == 2
+    assert got[(2, 1)] == got[(2, 20)] == got[(2, 40)] == 1
+
+
+def test_session_stats(toy_events):
+    st = {r["user_id"]: r for r in ev.session_stats(toy_events).collect()}
+    assert st[1]["n_sessions"] == 2 and st[1]["max_session_events"] == 2
+    assert st[2]["n_sessions"] == 1 and st[2]["max_session_events"] == 3
+
+
+def test_tumbling_windows(toy_events):
+    w = ev.tumbling_window_stats(toy_events, minutes=10)
+    rows = {(r["window_start"].minute, r["event_type"]): r["n_events"]
+            for r in w.collect()}
+    assert rows[(0, "click")] == 1   # t0 event
+    assert rows[(10, "click")] == 1
+    assert rows[(0, "view")] == 1    # user 2 minute 1
+    total = sum(rows.values())
+    assert total == 6
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = tx.quality_score(docs).collect()
+    assert len(q) == docs.count()
+    for r in q:
+        assert 0 <= r["quality"] <= 100
+        assert 0 <= r["stop_pct"] <= 100

@@ -145,7 +145,8 @@ def test_backends_agree(text, pats):
     ents = sorted({(p, "X") for p in pats})
     a = Matcher(ents, backend="ac").find_spans(text)
     b = Matcher(ents, backend="find").find_spans(text)
-    assert a == b
+    c = Matcher(ents, backend="re").find_spans(text)
+    assert a == b == c
 
 
 @settings(max_examples=200, deadline=None)
@@ -157,4 +158,5 @@ def test_backends_agree_unicode(text, pats):
     ents = sorted({(p, "X") for p in pats})
     a = Matcher(ents, backend="ac").find_spans(text)
     b = Matcher(ents, backend="find").find_spans(text)
-    assert a == b
+    c = Matcher(ents, backend="re").find_spans(text)
+    assert a == b == c
