@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from quickner_spark.operators.annotate import annotate_mentions
 
-__all__ = ["annotate_stream", "windowed_label_counts", "streaming_dedup"]
+__all__ = ["annotate_stream", "windowed_label_counts", "streaming_dedup",
+           "stateful_session_counts"]
 
 
 def annotate_stream(stream_df: DataFrame, entities: Sequence[tuple[str, str]],
@@ -51,6 +52,64 @@ def windowed_label_counts(mentions_with_ts: DataFrame, ts_col: str = "ts",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "label", "n_mentions"))
+
+
+def stateful_session_counts(stream_df: DataFrame, user_col: str = "user_id",
+                            ts_col: str = "ts", gap_minutes: int = 30,
+                            state_timeout_minutes: int = 120) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running session count with gap-based session breaks, state carried
+    ACROSS micro-batches.
+
+    State per user = (last event ts epoch-seconds, session count). A new
+    batch's events extend the previous batch's session unless the gap
+    exceeds ``gap_minutes`` — semantics identical to the batch
+    ``operators.events.sessionize`` (asserted in tests). State is evicted
+    after ``state_timeout_minutes`` of processing-time inactivity, bounding
+    memory for dead users.
+
+    Output per (user, micro-batch): (user_id, n_sessions, n_events_total).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    gap = gap_minutes * 60
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                "n_sessions": pd.Series([], dtype="int64"),
+                                "n_events_total": pd.Series([], dtype="int64")})
+            return
+        last_ts, sessions, events = (
+            state.get if state.exists else (None, 0, 0))
+        ts_values = []
+        for pdf in pdfs:
+            ts_values.extend(int(t) for t in
+                             pdf[ts_col].astype("int64") // 1_000_000_000)
+        ts_values.sort()
+        for t in ts_values:
+            if last_ts is None or t - last_ts > gap:
+                sessions += 1
+            last_ts = t
+            events += 1
+        state.update((last_ts, sessions, events))
+        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [sessions],
+                            "n_events_total": [events]})
+
+    return (stream_df
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_sessions long, "
+                                 "n_events_total long",
+                stateStructType="last_ts long, n_sessions long, n_events long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 
 
 def streaming_dedup(stream_df: DataFrame, text_col: str = "text",

@@ -68,6 +68,45 @@ def test_windowed_label_counts(spark, stream_source, tmp_path):
     assert all(r["window_end"] > r["window_start"] for r in rows)
 
 
+def test_stateful_session_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    batch 2 events within the gap extend batch 1's session, not start a
+    new one; a large gap starts session 2."""
+    from quickner_spark.streaming import stateful_session_counts
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    b1 = [(1, t0), (1, t0 + dt.timedelta(minutes=5)), (2, t0)]
+    b2 = [(1, t0 + dt.timedelta(minutes=20)),          # same session (gap 15m)
+          (2, t0 + dt.timedelta(minutes=90))]          # new session (gap 90m)
+    # two files + maxFilesPerTrigger=1 => two micro-batches in ONE query;
+    # state must carry between them (memory sink cannot recover a
+    # checkpoint, so cross-query restart is not testable here).
+    spark.createDataFrame(b1, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = stateful_session_counts(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    # update mode emits one row per (user, batch); the final state is the
+    # row with the highest running event count
+    got = {}
+    for r in rows:
+        prev = got.get(r["user_id"], (0, 0))
+        if r["n_events_total"] >= prev[1]:
+            got[r["user_id"]] = (r["n_sessions"], r["n_events_total"])
+    assert got[1] == (1, 3)   # batch-2 event joined batch-1's session
+    assert got[2] == (2, 2)   # 90-minute gap -> second session
+
+
 def test_streaming_dedup(spark, tmp_path):
     src = tmp_path / "dedup_in"
     src.mkdir()
