@@ -35,6 +35,11 @@ HEADLINE = [
     "q13_components",
     "q14_minhash_dedup",
     "q15_simhash",
+    "q17_lang_id",
+    "q18_embedding_dups",
+    "q20_event_windows",
+    "q21_sessions",
+    "q22_quality_score",
 ]
 
 

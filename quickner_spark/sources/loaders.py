@@ -16,10 +16,9 @@ Reference tests never assert id values.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (ArrayType, StringType, StructField, StructType)
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from quickner_spark.filters import Filters
-from quickner_spark.operators.annotate import SPAN_TYPE
 
 __all__ = [
     "load_texts_csv", "load_entities_csv", "load_excludes_csv",
@@ -111,16 +110,12 @@ def from_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 
 
 def from_spacy(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """S5 — reload spaCy-format JSON ``[[text, {"entity": [[s,e,l],...]}]]``
-    (one array in one file -> multiLine read)."""
-    schema = ArrayType(StructType([
-        StructField("text", StringType()),
-        StructField("ent", StructType([
-            StructField("entity", ArrayType(ArrayType(StringType())))])),
-    ]))
-    # spaCy format is a JSON array of [text, {...}] pairs — heterogenous
-    # arrays need a text-level parse: read as text, parse with from_json on
-    # a normalized shape via get_json_object paths.
+    """S5 — reload spaCy-format JSON ``[[text, {"entity": [[s,e,l],...]}]]``.
+
+    The format is one JSON array of heterogeneous [string, object] pairs —
+    not line-delimited, so Spark's JSON source can't type it; the (small)
+    file is parsed at the driver and parallelized (the reference also
+    slurps the whole file, quickner.rs:646-658)."""
     import json
 
     rows = spark.read.option("multiLine", True).text(path)

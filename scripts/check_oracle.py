@@ -11,6 +11,7 @@ Usage: PYTHONPATH=/root/repo python scripts/check_oracle.py [q01 q05 ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -21,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from quickner_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
