@@ -253,6 +253,22 @@ def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_docs(spark, sf_dir), stopwords=STOPWORDS)
 
 
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints (min token-digest per 8-token
+    block; md5-hex digests so the oracle computes the identical set)."""
+    return tx.fingerprint(_docs(spark, sf_dir), window=8)
+
+
+def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF cells (deterministic seeded k-means
+    quantizer, nprobe probing; rows-only — recall vs exact cosine asserted
+    in tests/test_simsearch.py)."""
+    out = ss.ivf_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
+                      nlist=16, nprobe=4, iters=2)
+    return out.select("probe_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -282,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_event_windows": q20_event_windows,
         "q21_sessions": q21_sessions,
         "q22_quality_score": q22_quality_score,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_ivf_knn": q24_ivf_knn,
     }
 
 
@@ -491,6 +509,15 @@ FROM p WHERE dot > 0 AND dot * dot * 10000 >= 1600 * n2_a * n2_b
 WITH {cte}
 SELECT lower(surface) AS surface, count(DISTINCT doc_id) AS n_docs
 FROM mentions GROUP BY 1
+""",
+        "q23_fingerprint": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  list_sort(list_distinct([
+     list_min(list_transform(toks[(i*8+1):(i*8+8)], t -> md5(t)))
+     FOR i IN range(0, CAST(floor((len(toks)-1)/8) AS INT) + 1)
+  ])) AS fingerprint
+FROM t
 """,
     }
 

@@ -40,6 +40,8 @@ HEADLINE = [
     "q20_event_windows",
     "q21_sessions",
     "q22_quality_score",
+    "q23_fingerprint",
+    "q24_ivf_knn",
 ]
 
 

@@ -5,10 +5,12 @@ over annotated sentences. The engine primitive is a *mention-pair pattern
 join*: two mentions of the same document linked by a predicate expression
 that must match the text between them.
 
-Plan shape: mentions self-join keyed on doc id (co-partitioned: one shuffle
-keyed on doc_id, both sides), then a join back to ``documents`` for the
-connecting text check. Mentions-per-doc is small, so the self-join fans out
-modestly; the documents join ships only (doc_id, text).
+Plan shape: mentions × predicates (broadcast fan-out, |preds| rows per
+mention) -> EQUI-join against mentions on (doc_id, expected object offset)
+-> join back to ``documents`` for the connecting-text check. Both mention
+sides shuffle once on the same composite key; fan-out is limited to actual
+positional hits (no per-document mention² cross product); the documents
+join ships only (doc_id, text).
 """
 
 from __future__ import annotations
@@ -54,9 +56,13 @@ def pattern_triples(
                          F.col("surface").alias("obj"))
     text = F.lower(F.col(text_col)) if lower_text else F.col(text_col)
     docs = documents.select(F.col(id_col).alias("__id"), text.alias("__text"))
-    out = (m1.join(m2, "__id")
-           .crossJoin(pred_df)
-           .where(F.col("obj_start") == F.col("subj_end") + 2 + F.col("plen"))
+    # (subj x predicate) is a cheap broadcast fan-out (|preds| rows per
+    # mention); the expensive mention-mention match is then an EQUI-join on
+    # (doc, exact expected object offset) — no per-document mention² cross
+    # product with a post-filter, so fan-out is only actual positional hits.
+    m1p = (m1.crossJoin(pred_df)
+           .withColumn("obj_start", F.col("subj_end") + 2 + F.col("plen")))
+    out = (m1p.join(m2, ["__id", "obj_start"])
            .join(docs, "__id")
            .where((F.expr("substring(__text, subj_end + 2, plen)") == F.col("pred"))
                   & (F.expr("substring(__text, subj_end + 1, 1)") == F.lit(" "))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk",
+__all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
            "embedding_dup_pairs"]
 
 
@@ -132,6 +132,85 @@ def embedding_dup_pairs(df: DataFrame, threshold_pct: int = 95,
 
     return q.mapInPandas(
         gen, "id_a long, id_b long, dot long, n2_a long, n2_b long")
+
+
+def _assign_cells(v: DataFrame, cdf, id_col: str) -> DataFrame:
+    """(id, v) x broadcast centroids -> (id, v, cid) by min L2 distance
+    (deterministic tie-break on cid)."""
+    dist2 = F.aggregate(F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, b: a + b)
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("cid"))
+    return (v.crossJoin(cdf)
+            .select(id_col, "v", "cid", dist2.alias("dist2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_col, "v", "cid"))
+
+
+def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
+             nprobe: int = 4, iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the second ANN
+    scale path next to ``lsh_topk``.
+
+    Coarse quantizer: ``nlist`` centroids seeded deterministically (the
+    vectors with the smallest ``xxhash64(vec_id)`` — a seeded sample, no
+    driver randomness) and refined with ``iters`` Lloyd iterations, all as
+    DataFrame ops (assign = broadcast-centroid argmin; update = posexplode
+    dims -> per-(cell, dim) mean). Search: each probe scans only its
+    ``nprobe`` nearest cells; candidates are re-scored exactly (cosine).
+
+    At 100 TB the centroid table stays tiny (nlist ~ sqrt(N) x dim
+    doubles, broadcast), the assignment pass is a narrow map over the scan,
+    and the candidate join is an equi-join keyed on cell id — per-probe
+    work is ~N * nprobe / nlist instead of N."""
+    spark = df.sparkSession
+    v = (df.select(F.col(id_col),
+                   F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                   .alias("v"))
+         .cache())
+    seeds = (v.select("v", F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+             .orderBy("h", id_col).limit(nlist).collect())
+    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(cents, "cid int, c array<double>"))
+        assigned = _assign_cells(v, cdf, id_col)
+        new = (assigned.select("cid", F.posexplode("v").alias("d", "x"))
+               .groupBy("cid", "d").agg(F.avg("x").alias("x"))
+               .groupBy("cid")
+               .agg(F.transform(F.array_sort(F.collect_list(F.struct("d", "x"))),
+                                lambda s: s["x"]).alias("c")))
+        cents = [(r["cid"], list(r["c"])) for r in new.collect()]
+    cdf = F.broadcast(spark.createDataFrame(cents, "cid int, c array<double>"))
+    assigned = _assign_cells(v, cdf, id_col)
+    probes = assigned.where(F.col(id_col).isin(list(probe_ids)))
+    # nprobe nearest cells per probe
+    dist2 = F.aggregate(F.zip_with("pv", "c", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, b: a + b)
+    wp = Window.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    pcells = (probes.select(F.col(id_col).alias("probe_id"),
+                            F.col("v").alias("pv"))
+              .crossJoin(cdf)
+              .select("probe_id", "pv", "cid", dist2.alias("dist2"))
+              .withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select("probe_id", "pv", "cid"))
+    cand = (assigned.join(pcells, "cid")
+            .where(F.col(id_col) != F.col("probe_id"))
+            .select("probe_id", F.col(id_col).alias("neighbor_id"),
+                    "pv", F.col("v").alias("cv"))
+            .distinct())
+    dot = F.aggregate(F.zip_with("pv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, b: a + b)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                        F.lit(0.0), lambda a, b: a + b))
+    scored = cand.select("probe_id", "neighbor_id",
+                         (dot / (norm(F.col("pv")) * norm(F.col("cv"))))
+                         .alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cosine"))
 
 
 def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,

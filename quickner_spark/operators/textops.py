@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "token_stats",
     "exact_dup_groups",
+    "shingle_sets",
     "word_shingles",
     "jaccard_pairs",
     "minhash_signatures",
@@ -144,14 +145,8 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per document. Built with
     ``transform(sequence(...))`` — pure JVM, no UDF, no join."""
-    ws = F.split(F.col(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-    )
-    # filter BEFORE projecting text away; sequence(0, negative) descends.
-    return (df.where(F.size(ws) >= n)
-            .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")))
+    return (shingle_sets(df, n, text_col, id_col)
+            .select(id_col, F.explode("sh_set").alias("shingle")))
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold_pct: int = 80,
@@ -164,8 +159,15 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_pct: int = 80,
     (``100*shared >= pct*(|A|+|B|-shared)``) so results are exact and
     hash-comparable. ``doc_freq_cap`` drops shingles appearing in more than
     that many docs before the join (skew guard; alters recall only for pairs
-    whose every shared shingle is ultra-common)."""
-    sh = word_shingles(df, n, text_col, id_col)
+    whose every shared shingle is ultra-common).
+
+    The join/aggregate key is ``xxhash64(shingle)`` — an 8-byte fixed-width
+    shuffle key instead of the raw n-gram string (which at web scale
+    averages tens of bytes). Distinct-shingle counts are preserved up to
+    64-bit hash collisions (~p²/2^65 for p distinct shingles per doc —
+    negligible against the threshold integer arithmetic)."""
+    sh = (word_shingles(df, n, text_col, id_col)
+          .select(id_col, F.xxhash64("shingle").alias("shingle")))
     if doc_freq_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (sh.join(F.broadcast(freq.where(F.col("df") > doc_freq_cap)),
@@ -187,24 +189,39 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_pct: int = 80,
             .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
 
 
+def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, sh_set): the distinct word n-grams of each document as ONE array
+    row — the un-exploded form of :func:`word_shingles`. Zero shuffle; used
+    wherever per-document shingle sets are consumed whole (MinHash
+    signatures, candidate-pair verification)."""
+    ws = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return (df.where(F.size(ws) >= n)
+            .select(F.col(id_col), F.array_distinct(shingles).alias("sh_set")))
+
+
 def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """MinHash signatures over word n-gram shingles, fully JVM-side:
-    h_i(s) = xxhash64(s, seed=i); signature_i = min over shingles.
-    One row per (doc, i) -> pivoted to an array column."""
-    sh = word_shingles(df, n, text_col, id_col)
-    hashed = sh.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("i"),
-                     F.xxhash64(F.col("shingle"), F.lit(i)).alias("h"))
-            for i in range(num_hashes)
-        ])).alias("e"),
-    ).select(id_col, F.col("e.i").alias("i"), F.col("e.h").alias("h"))
-    return (hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
-            .groupBy(id_col)
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                             lambda s: s["mh"]).alias("signature")))
+    h_i(s) = xxhash64(s, i); signature_i = min over shingles.
+
+    Computed entirely in-row (``transform(sequence(0, k-1),
+    i -> array_min(transform(sh_set, s -> xxhash64(s, i))))``): the whole
+    signature stage is a narrow map with ZERO shuffles — at 100 TB this is
+    one codegen'd pass over the scan, vs. the naive explode-to-(doc, i,
+    shingle) shape whose intermediate is ``rows x shingles x k`` and costs
+    two hash-aggregate shuffles."""
+    sets = shingle_sets(df, n, text_col, id_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, i.cast("int")))),
+    )
+    return sets.select(id_col, sig.alias("signature"))
 
 
 def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
@@ -217,7 +234,13 @@ def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
     pair missed by every band is possible, P ~ (1-s^r)^b); the exact verify
     step makes precision 1.0 relative to ``jaccard_pairs``."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    sets = shingle_sets(df, n, text_col, id_col).cache()
+    sig_col = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, i.cast("int")))),
+    )
+    sig = sets.select(id_col, sig_col.alias("signature"))
     banded = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -236,9 +259,24 @@ def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
         .select(F.col(f"x.{id_col}").alias("doc_a"),
                 F.col(f"y.{id_col}").alias("doc_b"))
         .distinct())
-    exact = jaccard_pairs(df, n, threshold_pct, text_col, id_col)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "shared", "n_a", "n_b")
+    # Exact-Jaccard verification of the CANDIDATES ONLY: join each pair back
+    # to its two shingle sets and intersect in-row. The verify cost is
+    # O(candidate pairs), not O(all near-dup pairs) — running the full
+    # inverted-index self-join here (as `jaccard_pairs` does) would redo the
+    # very computation LSH exists to avoid at 100 TB.
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b",
+                        F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+                        .alias("shared"),
+                        F.size("sh_a").cast("long").alias("n_a"),
+                        F.size("sh_b").cast("long").alias("n_b")))
+    return (verified
+            .where(F.lit(100) * F.col("shared")
+                   >= F.lit(threshold_pct)
+                   * (F.col("n_a") + F.col("n_b") - F.col("shared")))
+            .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -266,14 +304,19 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: min xxhash64 over each block of
-    ``window`` tokens -> set of selected hashes (content-defined sampling).
-    Used for fast containment checks."""
+    """Winnowing-style document fingerprint: lexicographic-min token digest
+    (md5 hex) over each block of ``window`` tokens -> sorted set of selected
+    digests (content-defined sampling). Used for fast containment checks.
+
+    md5-hex rather than xxhash64 so the identical fingerprint is computable
+    on any SQL engine (oracle-exact: q23); the selection statistics are the
+    same — min over a block of uniformly-hashed tokens."""
     ws = F.split(F.col(text_col), " ")
     n_blocks = ((F.size(ws) - 1) / window).cast("int")  # floor for positives
     blocks = F.transform(
         F.sequence(F.lit(0), n_blocks),
         lambda i: F.array_min(F.transform(F.slice(ws, i * window + 1, window),
-                                          lambda t: F.xxhash64(t))),
+                                          lambda t: F.md5(t.cast("binary")))),
     )
-    return df.select(F.col(id_col), F.array_distinct(blocks).alias("fingerprint"))
+    return df.select(F.col(id_col),
+                     F.array_sort(F.array_distinct(blocks)).alias("fingerprint"))

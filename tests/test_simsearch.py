@@ -56,3 +56,37 @@ def test_lsh_deterministic(emb):
     a = sorted(map(tuple, ss.lsh_topk(emb, k=3, probe_ids=[0]).collect()))
     b = sorted(map(tuple, ss.lsh_topk(emb, k=3, probe_ids=[0]).collect()))
     assert a == b
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    # IVF's contract is cell locality: on clustered data a probe's true
+    # neighbors share its cell, so recall ~ 1 with small nprobe. (Random
+    # uniform vectors would make any IVF scan ~nprobe/nlist of the data —
+    # not a meaningful recall test.)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(25):
+            v = centers[c] + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [0, 25, 50]
+    exact = {(r["probe_id"], r["neighbor_id"])
+             for r in ss.cosine_topk(emb, k=5, probe_ids=probes).collect()}
+    approx = {(r["probe_id"], r["neighbor_id"])
+              for r in ss.ivf_topk(emb, k=5, probe_ids=probes,
+                                   nlist=8, nprobe=2, iters=2).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ivf_deterministic(emb):
+    a = sorted(map(tuple, ss.ivf_topk(emb, k=3, probe_ids=[0],
+                                      nlist=8, nprobe=3).collect()))
+    b = sorted(map(tuple, ss.ivf_topk(emb, k=3, probe_ids=[0],
+                                      nlist=8, nprobe=3).collect()))
+    assert a == b
