@@ -252,6 +252,165 @@ class _RegexTrieScan:
         return iter(hits)
 
 
+class _BoundaryScan:
+    """C-speed scan of the M2-relevant raw-match subset.
+
+    Every span the reference boundary cascade (quickner.rs:137-222) can
+    ACCEPT either (i) starts at position 0 or right after a whitespace/
+    ASCII-punct char — rules (a)(b)(c)(e)(f) all require it — or (ii) is a
+    rule-(d) suffix match at the single char position
+    ``start = byte_len(text) - byte_len(pattern)``. So the raw overlapping
+    scan never needs the automaton's mid-word matches: this backend finds
+    (i) with one trie-shaped regex per prefix-free layer, anchored by a
+    boundary lookbehind ``(?:\\A|(?<=[bnd]))(?=(trie))`` — the position
+    scan and trie walk run in the C regex engine, Python executes once per
+    MATCH — and (ii) with an O(distinct pattern lengths) dict probe of the
+    text suffix.
+
+    NOT the full raw match set (mid-word, non-suffix matches are absent by
+    design) — valid only behind ``find_spans`` / ``find_spans_clean``,
+    whose filters reject exactly the omitted matches. Property-tested
+    equivalent to the ``ac`` backend through both filters. A suffix match
+    that also starts on a boundary is emitted twice (once per source);
+    the duplicates are adjacent in the (end, pid) ordering and collapse in
+    M3's consecutive dedup (set-dedup in clean mode).
+    """
+
+    __slots__ = ("_layers", "_by_name", "_len_groups", "_accept_rxs",
+                 "_zero_rxs")
+
+    def __init__(self, patterns: Sequence[str]):
+        by_name: dict[str, list[int]] = {}
+        for pid, p in enumerate(patterns):
+            if p:
+                by_name.setdefault(p, []).append(pid)
+        names = sorted(by_name)
+        name_set = set(names)
+        layers: dict[int, list[str]] = {}
+        for nm in names:
+            depth = sum(1 for i in range(1, len(nm)) if nm[:i] in name_set)
+            layers.setdefault(depth, []).append(nm)
+        bnd = "[" + "".join(re.escape(c)
+                            for c in sorted(WHITE_SPACE | ASCII_PUNCTUATION)) + "]"
+        tries = [_trie_regex(group) for _, group in sorted(layers.items())]
+        self._layers = [
+            re.compile("(?:\\A|(?<=" + bnd + "))(?=(" + t + "))") for t in tries
+        ]
+        # Fused-ASCII forms: the leading consumed charset enables the C
+        # engine's first-charset skip (measured ~2x over the lookbehind
+        # form), and the trailing (?:[bnd]|\Z) IS the whole M2 next-check
+        # for ASCII text (see fused_spans).
+        self._accept_rxs = [
+            re.compile(bnd + "(?=(" + t + ")(?:" + bnd + "|\\Z))") for t in tries
+        ]
+        self._zero_rxs = [
+            re.compile("(?=(" + t + ")(?:" + bnd + "|\\Z))") for t in tries
+        ]
+        self._by_name = by_name
+        # rule-(d) probe groups: (byte_len, char_len) -> {name: pids}
+        lg: dict[tuple[int, int], dict[str, list[int]]] = {}
+        for nm in names:
+            lg.setdefault((len(nm.encode("utf-8")), len(nm)), {})[nm] = by_name[nm]
+        self._len_groups = lg
+
+    def iter_matches(self, text: str) -> Iterator[tuple[int, int, int]]:
+        hits: list[tuple[int, int, int]] = []
+        by_name = self._by_name
+        for rx in self._layers:
+            for m in rx.finditer(text):
+                s = m.start()
+                name = m.group(1)
+                e = s + len(name)
+                for pid in by_name[name]:
+                    hits.append((s, e, pid))
+        return self._suffix_and_sort(hits, text)
+
+    def fused_spans(self, text: str, labels: Sequence[str]):
+        """M1+M2+M3 in one pass for pure-ASCII text; None otherwise.
+
+        For ASCII the whole reference cascade collapses to
+        ``(start==0 ∨ prev∈bnd) ∧ (next∈bnd ∨ end==len)  ∨  rule (d)``
+        (rules e/f are subsumed by b/c when char and byte indices coincide;
+        an end-of-text next reads the 'N' sentinel, which fails a-c and is
+        re-admitted exactly by the ``\\Z`` branch ≡ rule (d)). The accept
+        condition lives inside the regex, so Python executes only per
+        ACCEPTED span. Property-tested against the generic cascade
+        (tests/test_matcher.py::test_backends_agree*)."""
+        if not text.isascii():
+            return None
+        hits: list[tuple[int, int, int]] = []
+        by_name = self._by_name
+        for rx, z in zip(self._accept_rxs, self._zero_rxs):
+            mz = z.match(text)
+            if mz:
+                name = mz.group(1)
+                for pid in by_name[name]:
+                    hits.append((0, len(name), pid))
+            for m in rx.finditer(text):
+                s = m.start(1)
+                name = m.group(1)
+                e = s + len(name)
+                for pid in by_name[name]:
+                    hits.append((s, e, pid))
+        n = len(text)
+        for (blen, _clen), group in self._len_groups.items():
+            s = n - blen  # ascii: byte == char units
+            if s >= 0:
+                pids = group.get(text[s:])
+                if pids:
+                    for pid in pids:
+                        hits.append((s, n, pid))
+        # sort by (start, end, pid) == the reference's stable start-sort of
+        # the (end, pid)-ordered raw emission; consecutive-dedup = Vec::dedup.
+        hits.sort()
+        out: list[tuple[int, int, str]] = []
+        prev = None
+        for s, e, pid in hits:
+            span = (s, e, labels[pid])
+            if span != prev:
+                out.append(span)
+            prev = span
+        return out
+
+    def fused_clean(self, text: str, labels: Sequence[str]):
+        """Clean-mode (engine extension) fused path for ASCII text: accept
+        iff prev is absent/bnd AND next is absent/bnd — exactly the regex
+        accept condition, with no rule-(d) suffix probe."""
+        if not text.isascii():
+            return None
+        out = set()
+        by_name = self._by_name
+        for rx, z in zip(self._accept_rxs, self._zero_rxs):
+            mz = z.match(text)
+            if mz:
+                name = mz.group(1)
+                for pid in by_name[name]:
+                    out.add((0, len(name), labels[pid]))
+            for m in rx.finditer(text):
+                s = m.start(1)
+                name = m.group(1)
+                for pid in by_name[name]:
+                    out.add((s, s + len(name), labels[pid]))
+        return sorted(out)
+
+    def _suffix_and_sort(self, hits, text):
+        try:
+            tb = len(text.encode("utf-8"))
+        except UnicodeEncodeError:
+            tb = None  # invalid text: find_spans returns [] before M2 anyway
+        if tb is not None:
+            n = len(text)
+            for (blen, clen), group in self._len_groups.items():
+                s = tb - blen
+                if 0 <= s and s + clen <= n:
+                    pids = group.get(text[s:s + clen])
+                    if pids:
+                        for pid in pids:
+                            hits.append((s, s + clen, pid))
+        hits.sort(key=lambda h: (h[1], h[2]))
+        return iter(hits)
+
+
 class _FindScan:
     """Per-pattern ``str.find`` scan. O(patterns * text) but each probe is a
     C-level memmem; fastest for small gazetteers (reference's dead naive
@@ -292,7 +451,10 @@ class Matcher:
         (quickner.rs:256-265 builds the automaton over entity positions).
         Empty names are skipped (the reference automaton would match the
         empty pattern everywhere; no real gazetteer contains one).
-    backend : 'auto' | 'ac' | 'find' | 'cac'
+    backend : 'auto' | 'bnd' | 'ac' | 'find' | 'cac' | 're'
+        'bnd' (auto default for large gazetteers) scans only the raw-match
+        subset the boundary filters can accept; 'ac'/'cac'/'find'/'re'
+        produce the full overlapping raw match set.
     """
 
     __slots__ = ("names", "labels", "_scan", "_pat_chars", "_pat_bytes")
@@ -311,18 +473,21 @@ class Matcher:
         if backend == "auto":
             if len(nonempty) <= _FIND_BACKEND_MAX_PATTERNS:
                 backend = "find"
-            elif _pyahocorasick is not None:
-                backend = "cac"
             else:
-                # measured: flattened-transition Python AC beats the C
-                # regex-trie lookahead scan (59k vs 41k docs/s @999 patterns
-                # dense; 97k vs 72k sparse) — zero-width lookaheads can't
-                # skip, the automaton's flattened delta is one dict hit/char.
-                backend = "ac"
+                # the boundary-anchored C-regex scan beats both the
+                # flattened-transition Python AC (one dict hit per CHAR) and
+                # the unanchored regex-trie lookahead (tried at every
+                # position): the boundary lookbehind lets the C engine do
+                # the position scan, so Python runs once per MATCH. Valid
+                # because Matcher only consumes raw matches through the M2 /
+                # clean filters (see _BoundaryScan docstring).
+                backend = "bnd"
         if backend == "cac" and _pyahocorasick is not None:
             self._scan = self._build_cac()
         elif backend == "re":
             self._scan = _RegexTrieScan(names)
+        elif backend == "bnd":
+            self._scan = _BoundaryScan(names)
         elif backend in ("ac", "cac"):
             self._scan = _PurePythonAhoCorasick(names)
         else:
@@ -400,6 +565,11 @@ class Matcher:
         consecutive exact duplicates removed. Returns [] where the reference
         returns None.
         """
+        scan = self._scan
+        if type(scan) is _BoundaryScan:
+            fused = scan.fused_spans(text, self.labels)
+            if fused is not None:
+                return fused
         try:
             text_bytes = len(text.encode("utf-8"))
         except UnicodeEncodeError:
@@ -430,6 +600,11 @@ class Matcher:
         non-boundary preceding char, e.g. 'xrust' at end of text).
         Results are sorted by (start, end, label) and exact-deduped.
         """
+        scan = self._scan
+        if type(scan) is _BoundaryScan:
+            fused = scan.fused_clean(text, self.labels)
+            if fused is not None:
+                return fused
         n = len(text)
         out = set()
         for start, end, pid in self._scan.iter_matches(text):

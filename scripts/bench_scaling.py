@@ -62,7 +62,9 @@ import os
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-pages = spark.read.parquet(path).repartition(cores * 2).cache()
+# 4 tasks per slot: the straggler tail is <=1/4 of a wave instead of a
+# full second wave when task durations vary.
+pages = spark.read.parquet(path).repartition(cores * 4).cache()
 n_docs = pages.count()  # materialize cache outside the timed region
 gaz = normalize_gazetteer(corpus.synth_gazetteer(gaz_n))
 # warm-up: one full pass forks every Python worker and builds the automaton
@@ -84,8 +86,17 @@ spark.stop()
 """
 
 
-def _run(code: str, *args: str) -> str:
-    out = subprocess.run([sys.executable, "-c", code, *args],
+def _run(code: str, *args: str, cpus: int | None = None) -> str:
+    # Pin the whole process tree (JVM + forked Python workers, which inherit
+    # affinity) to exactly `cpus` physical cores. Without this, the
+    # local[8] leg's JVM-side work (Arrow encode/decode, scheduler, GC,
+    # count aggregation) runs on the 24 cores its "cluster" does not own,
+    # inflating 8-leg throughput and deflating measured N->4N efficiency.
+    # An N-executor cluster only has N cores; taskset models that honestly.
+    cmd = [sys.executable, "-c", code, *args]
+    if cpus is not None:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd,
                          capture_output=True, text=True, timeout=2400,
                          env={**os.environ, "PYTHONPATH": "/root/repo"})
     lines = [l for l in out.stdout.splitlines() if l.strip()]
@@ -103,7 +114,8 @@ def main() -> None:
     runs = {8: [], 32: []}
     for cores in (8, 32, 8, 32):
         runs[cores].append(json.loads(
-            _run(_WORKER, str(cores), str(PASSES), str(GAZ), CORPUS)))
+            _run(_WORKER, str(cores), str(PASSES), str(GAZ), CORPUS,
+                 cpus=cores)))
     lo = max(runs[8], key=lambda r: r["docs_per_sec"])
     hi = max(runs[32], key=lambda r: r["docs_per_sec"])
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)

@@ -50,7 +50,7 @@ def spans_for(text: str, backend: str = "find"):
     return find_spans(text.lower(), LOWER_ENTS, backend=backend)
 
 
-@pytest.mark.parametrize("backend", ["find", "ac"])
+@pytest.mark.parametrize("backend", ["find", "ac", "bnd"])
 def test_golden_spans(backend):
     total = 0
     for text in TEXTS:
@@ -62,7 +62,7 @@ def test_golden_spans(backend):
     assert total == 12  # tests/test.py:58-59
 
 
-@pytest.mark.parametrize("backend", ["find", "ac"])
+@pytest.mark.parametrize("backend", ["find", "ac", "bnd"])
 def test_rust_matched_twice_in_url(backend):
     # "Rust" and "rust" inside https://www.rust-lang.org/ (punct boundaries)
     got = spans_for(TEXTS[4], backend)
@@ -146,7 +146,11 @@ def test_backends_agree(text, pats):
     a = Matcher(ents, backend="ac").find_spans(text)
     b = Matcher(ents, backend="find").find_spans(text)
     c = Matcher(ents, backend="re").find_spans(text)
-    assert a == b == c
+    d = Matcher(ents, backend="bnd").find_spans(text)
+    assert a == b == c == d
+    ac = Matcher(ents, backend="ac").find_spans_clean(text)
+    dc = Matcher(ents, backend="bnd").find_spans_clean(text)
+    assert ac == dc
 
 
 @settings(max_examples=200, deadline=None)
@@ -159,4 +163,8 @@ def test_backends_agree_unicode(text, pats):
     a = Matcher(ents, backend="ac").find_spans(text)
     b = Matcher(ents, backend="find").find_spans(text)
     c = Matcher(ents, backend="re").find_spans(text)
-    assert a == b == c
+    d = Matcher(ents, backend="bnd").find_spans(text)
+    assert a == b == c == d
+    ac = Matcher(ents, backend="ac").find_spans_clean(text)
+    dc = Matcher(ents, backend="bnd").find_spans_clean(text)
+    assert ac == dc
