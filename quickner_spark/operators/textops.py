@@ -209,19 +209,33 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 64,
     """MinHash signatures over word n-gram shingles, fully JVM-side:
     h_i(s) = xxhash64(s, i); signature_i = min over shingles.
 
-    Computed entirely in-row (``transform(sequence(0, k-1),
-    i -> array_min(transform(sh_set, s -> xxhash64(s, i))))``): the whole
-    signature stage is a narrow map with ZERO shuffles — at 100 TB this is
-    one codegen'd pass over the scan, vs. the naive explode-to-(doc, i,
-    shingle) shape whose intermediate is ``rows x shingles x k`` and costs
-    two hash-aggregate shuffles."""
+    Computed entirely in-row: the whole signature stage is a narrow map
+    with ZERO shuffles — at 100 TB this is one codegen'd pass over the
+    scan, vs. the naive explode-to-(doc, i, shingle) shape whose
+    intermediate is ``rows x shingles x k`` and costs two hash-aggregate
+    shuffles. Each shingle STRING is hashed once (``xxhash64(s)``); the k
+    per-permutation hashes re-hash that fixed-width long
+    (``xxhash64(h, i)``), so the variable-length string is not re-scanned
+    k times — the standard one-hash-plus-k-mixes MinHash construction."""
     sets = shingle_sets(df, n, text_col, id_col)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, i.cast("int")))),
+    return sets.select(F.col(id_col),
+                       _minhash_sig(F.col("sh_set"), num_hashes)
+                       .alias("signature"))
+
+
+def _minhash_sig(sh_set: Column, num_hashes: int) -> Column:
+    # Fold over the shingle hashes with an array-of-k-minima accumulator
+    # (rather than k outer passes re-hashing the strings): the string array
+    # is the aggregate's INPUT, so it is evaluated exactly once per row no
+    # matter how Catalyst collapses projections.
+    long_max = F.lit(9223372036854775807).cast("long")
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        F.transform(sh_set, lambda s: F.xxhash64(s)),
+        F.array_repeat(long_max, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, i: F.least(a, F.xxhash64(h, i.cast("int")))),
     )
-    return sets.select(id_col, sig.alias("signature"))
 
 
 def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
@@ -235,12 +249,8 @@ def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
     step makes precision 1.0 relative to ``jaccard_pairs``."""
     rows = num_hashes // bands
     sets = shingle_sets(df, n, text_col, id_col).cache()
-    sig_col = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, i.cast("int")))),
-    )
-    sig = sets.select(id_col, sig_col.alias("signature"))
+    sig = sets.select(id_col, _minhash_sig(F.col("sh_set"),
+                                           num_hashes).alias("signature"))
     banded = sig.select(
         id_col,
         F.explode(F.array(*[

@@ -58,8 +58,10 @@ cores, passes, gaz_n, path = (int(sys.argv[1]), int(sys.argv[2]),
                               int(sys.argv[3]), sys.argv[4])
 import os
 # local mode = one JVM doing driver + all executor threads: size the heap
-# for the thread count or GC serializes the run.
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+# PROPORTIONALLY TO CORES (1 GiB/core), as a real N- vs 4N-executor
+# cluster would — equal heaps would put 4x the allocation rate (Arrow
+# batches, count agg) against the same GC budget on the wide leg.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(cores, 4)}g")
 spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 # 4 tasks per slot: the straggler tail is <=1/4 of a wave instead of a
@@ -112,7 +114,8 @@ def main() -> None:
     # (identical runs vary +-40%); best-pass across alternating runs is the
     # least-interfered measurement of each level.
     runs = {8: [], 32: []}
-    for cores in (8, 32, 8, 32):
+    n_inter = int(os.environ.get("SCALING_INTERLEAVES", "2"))
+    for cores in (8, 32) * n_inter:
         runs[cores].append(json.loads(
             _run(_WORKER, str(cores), str(PASSES), str(GAZ), CORPUS,
                  cpus=cores)))

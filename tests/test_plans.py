@@ -16,6 +16,16 @@ import __spark_entry__ as E
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # Plan-shape assertions inspect the FileScan; a .cache()'d DataFrame
+    # left behind by another module's fixture would make the CacheManager
+    # substitute its full-schema InMemoryRelation into these plans and
+    # hide the pruning under test.
+    spark.catalog.clearCache()
+    yield
+
+
 def _executed(df) -> str:
     df.collect()  # ensure AQE final plan exists
     return df._jdf.queryExecution().executedPlan().toString()
