@@ -279,6 +279,12 @@ def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q25_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 16-token blocks (boilerplate/template
+    detection; chunk-level exact dedup)."""
+    return tx.repeated_blocks(_docs(spark, sf_dir), block=16, min_count=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -310,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_quality_score": q22_quality_score,
         "q23_fingerprint": q23_fingerprint,
         "q24_ivf_knn": q24_ivf_knn,
+        "q25_repeated_blocks": q25_repeated_blocks,
     }
 
 
@@ -528,6 +535,17 @@ SELECT doc_id,
      FOR i IN range(0, CAST(floor((len(toks)-1)/8) AS INT) + 1)
   ])) AS fingerprint
 FROM t
+""",
+        "q25_repeated_blocks": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[(i*16+1):(i*16+16)], ' ')) AS block_md5
+  FROM t, LATERAL (SELECT unnest(range(0, CAST(floor(len(toks)/16) AS INT))) AS i) x
+  WHERE len(toks) >= 16
+)
+SELECT block_md5, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM b GROUP BY 1 HAVING count(*) >= 2
 """,
     }
 

@@ -42,6 +42,7 @@ HEADLINE = [
     "q22_quality_score",
     "q23_fingerprint",
     "q24_ivf_knn",
+    "q25_repeated_blocks",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_dedup",
+    "repeated_blocks",
     "simhash64",
     "fingerprint",
     "lang_id",
@@ -287,6 +288,32 @@ def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
                    >= F.lit(threshold_pct)
                    * (F.col("n_a") + F.col("n_b") - F.col("shared")))
             .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+
+
+def repeated_blocks(df: DataFrame, block: int = 16, min_count: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated token-block detection — the chunk-level
+    exact-dedup pass of a training-data pipeline (boilerplate/template
+    mining): non-overlapping blocks of ``block`` tokens, md5-keyed,
+    reporting blocks present in >= ``min_count`` distinct documents.
+
+    Shuffle carries (16-byte digest, id) only; block extraction is in-row
+    (``transform(sequence(...))``, codegen). At corpus scale add a
+    ``doc_freq_cap``-style guard upstream if a single template dominates a
+    bucket (same skew pattern as the shingle join)."""
+    ws = F.split(F.col(text_col), " ")
+    nb = (F.size(ws) / block).cast("int")  # full blocks only
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * block + 1, block))
+                        .cast("binary")),
+    )
+    ex = (df.where(F.size(ws) >= block)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(blocks)).alias("block_md5")))
+    return (ex.groupBy("block_md5")
+            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("first_doc"))
+            .where(F.col("n_docs") >= min_count))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -74,3 +74,15 @@ def test_simhash_similar_docs_close(docs):
 def test_fingerprint_shape(docs):
     fp = tx.fingerprint(docs).first()
     assert len(fp["fingerprint"]) >= 1
+
+
+def test_repeated_blocks_detects_planted_template(spark):
+    base = "tok%d " * 16
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows = [(1, boiler + " " + " ".join(f"x{i}" for i in range(16))),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(16))),
+            (3, " ".join(f"z{i}" for i in range(16)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.repeated_blocks(df, block=16, min_count=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["first_doc"] == 1
