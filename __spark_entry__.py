@@ -172,8 +172,9 @@ def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q10_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: exact word-trigram Jaccard >= 0.8 via
-    shingle-inverted-index self-join (training-data op)."""
-    return tx.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold_pct=80)
+    prefix-filtered set-similarity join (AllPairs/PPJoin family; exact —
+    differentially tested equal to the full inverted-index join)."""
+    return tx.jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold_pct=80)
 
 
 def q11_knn_quantized_ip(spark: SparkSession, sf_dir: str) -> DataFrame:

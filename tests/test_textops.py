@@ -86,3 +86,10 @@ def test_repeated_blocks_detects_planted_template(spark):
     out = tx.repeated_blocks(df, block=16, min_count=2).collect()
     assert len(out) == 1
     assert out[0]["n_docs"] == 2 and out[0]["first_doc"] == 1
+
+
+def test_jaccard_prefix_equals_full_join(docs):
+    for pct in (60, 80, 95):
+        full = sorted(map(tuple, tx.jaccard_pairs(docs, 3, pct).collect()))
+        pref = sorted(map(tuple, tx.jaccard_pairs_prefix(docs, 3, pct).collect()))
+        assert pref == full, pct
