@@ -215,12 +215,17 @@ def jaccard_pairs_prefix(df: DataFrame, n: int = 3, threshold_pct: int = 80,
             .cache())
     size = F.size("hs")
     prefix_len = (size - F.ceil(size * threshold_pct / 100) + 1).cast("int")
-    prefix = (sets.select(id_col, F.explode(F.slice("hs", 1, prefix_len))
+    prefix = (sets.select(id_col, size.alias("nsh"),
+                          F.explode(F.slice("hs", 1, prefix_len))
                           .alias("ph")))
+    # length filter (PPJoin): J(A,B) >= t forces t <= |A|/|B| <= 1/t —
+    # prune size-mismatched candidates inside the join, before the verify.
     cand = (prefix.alias("a").join(
         prefix.alias("b"),
         (F.col("a.ph") == F.col("b.ph"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("b.nsh") * threshold_pct <= F.col("a.nsh") * 100)
+        & (F.col("a.nsh") * threshold_pct <= F.col("b.nsh") * 100))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct())
