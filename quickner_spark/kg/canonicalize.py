@@ -31,27 +31,43 @@ def char_shingles(df: DataFrame, n: int = 3, col: str = "alias") -> DataFrame:
 
 
 def alias_similarity_edges(aliases: DataFrame, n: int = 3,
-                           threshold_pct: int = 60, col: str = "alias",
-                           bucket_cap: int = 1000) -> DataFrame:
+                           threshold_pct: int = 60, col: str = "alias") -> DataFrame:
     """Similarity edges (u, v) between alias strings with char-n-gram
-    Jaccard >= threshold. Inverted-index join on shingle with a
-    document-frequency cap as skew guard."""
-    sh = char_shingles(aliases, n, col).cache()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(F.broadcast(freq.where(F.col("df") > bucket_cap)),
-                 "shingle", "left_anti")
-    cnt = sh.groupBy(col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col(f"a.{col}") < F.col(f"b.{col}")))
-              .groupBy(F.col(f"a.{col}").alias("u"),
-                       F.col(f"b.{col}").alias("v"))
-              .agg(F.count("*").alias("shared")))
-    ca = cnt.withColumnRenamed(col, "u").withColumnRenamed("n_sh", "n_u")
-    cb = cnt.withColumnRenamed(col, "v").withColumnRenamed("n_sh", "n_v")
-    return (shared.join(ca, "u").join(cb, "v")
-            .where(F.lit(100) * F.col("shared")
-                   >= F.lit(threshold_pct) * (F.col("n_u") + F.col("n_v") - F.col("shared")))
+    Jaccard >= threshold — EXACT, via the AllPairs prefix filter (same
+    construction as ``textops.jaccard_pairs_prefix``): only each alias's
+    smallest ``|X| - ceil(t|X|) + 1`` shingle hashes enter the inverted
+    index, with the PPJoin length filter in the join condition; candidates
+    verify by in-row intersection of the full sorted hash arrays.
+
+    Head-shingle skew: an ultra-common trigram ('the', 'inc') generates
+    pairs only when it lands inside BOTH prefixes — hot buckets shrink by
+    construction, so no recall-lossy document-frequency cap is needed
+    (the earlier ``bucket_cap`` guard traded recall for skew safety)."""
+    padded = F.concat(F.lit("^"), F.lower(F.col(col)), F.lit("$"))
+    hs = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(padded) - n + 1),
+        lambda i: F.xxhash64(F.substring(padded, i, n)))))
+    sets = (aliases.where(F.length(padded) >= n)
+            .select(F.col(col), hs.alias("hs")).cache())
+    size = F.size("hs")
+    prefix_len = (size - F.ceil(size * threshold_pct / 100) + 1).cast("int")
+    prefix = (sets.select(F.col(col), size.alias("nsh"),
+                          F.explode(F.slice("hs", 1, prefix_len)).alias("ph")))
+    cand = (prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a.ph") == F.col("b.ph"))
+        & (F.col(f"a.{col}") < F.col(f"b.{col}"))
+        & (F.col("b.nsh") * threshold_pct <= F.col("a.nsh") * 100)
+        & (F.col("a.nsh") * threshold_pct <= F.col("b.nsh") * 100))
+        .select(F.col(f"a.{col}").alias("u"), F.col(f"b.{col}").alias("v"))
+        .distinct())
+    su = sets.select(F.col(col).alias("u"), F.col("hs").alias("hs_u"))
+    sv = sets.select(F.col(col).alias("v"), F.col("hs").alias("hs_v"))
+    shared = F.size(F.array_intersect("hs_u", "hs_v"))
+    return (cand.join(su, "u").join(sv, "v")
+            .where(F.lit(100) * shared
+                   >= F.lit(threshold_pct)
+                   * (F.size("hs_u") + F.size("hs_v") - shared))
             .select("u", "v"))
 
 
