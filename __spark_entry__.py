@@ -286,6 +286,20 @@ def q25_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repeated_blocks(_docs(spark, sf_dir), block=16, min_count=2)
 
 
+def q26_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events property bag (semi-structured
+    web-log shape): get_json_object stays inside codegen; only
+    (event_type, k) reach the aggregate."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -318,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_fingerprint": q23_fingerprint,
         "q24_ivf_knn": q24_ivf_knn,
         "q25_repeated_blocks": q25_repeated_blocks,
+        "q26_json_props": q26_json_props,
     }
 
 
@@ -547,6 +562,13 @@ b AS (
 )
 SELECT block_md5, count(*) AS n_docs, min(doc_id) AS first_doc
 FROM b GROUP BY 1 HAVING count(*) >= 2
+""",
+        "q26_json_props": """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
 """,
     }
 
