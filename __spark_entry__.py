@@ -29,6 +29,7 @@ from quickner_spark.operators import simsearch as ss
 from quickner_spark.operators.graph import connected_components
 from quickner_spark.operators import events as ev
 from quickner_spark.kg.triples import pattern_triples
+from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
 
 # ---------------------------------------------------------------------------
 # Shared fixtures: a fixed gazetteer over the testdata vocabulary.
@@ -47,6 +48,10 @@ GAZETTEER: list[tuple[str, str]] = [
     ("data", "ENT"),
 ]
 STOPWORDS = ("the", "a")
+# Competing link candidates: "hash" is both its own entity and an alias of
+# "hash join"; "stream" both its own and an alias of "data" — so the
+# argmax over (prior, context-overlap) is actually exercised.
+EXTRA_ALIASES = {"hash join": ["hash"], "data": ["stream"]}
 PREDICATES = ("join", "scan")  # connective tokens for triple patterns
 VALID_FILTERS = Filters(min_length=150, max_length=300, punctuation=True)
 KNN_PROBES = [0, 1, 2, 3, 4]
@@ -300,6 +305,44 @@ def q26_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("k").alias("max_k")))
 
 
+def q27_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule entity-link candidate scoring (kg/link.py): broadcast
+    alias table, score = log1p(prior) + |doc tokens ∩ canonical profile|,
+    argmax per mention via max_by. Score exported as round(score*1000)
+    (prior∈{10,100} + integer overlap keeps it far from .5 boundaries, so
+    the cast is engine-stable)."""
+    docs = _docs(spark, sf_dir)
+    m = _mentions(spark, sf_dir)
+    al = alias_table_from_gazetteer(spark, normalize_gazetteer(GAZETTEER),
+                                    EXTRA_ALIASES)
+    out = link_mentions(m, docs, al)
+    return out.select(
+        "doc_id", "start", "end", "surface", "canonical_id", "label",
+        F.round(F.col("score") * 1000).cast("long").alias("score_milli"))
+
+
+def q28_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule KG edge materialization (kg/pipeline.py s_edges shape):
+    triples joined to a broadcast alias->canonical map on both endpoints,
+    then weighted groupBy(src, dst, pred). The map resolves each alias to
+    its max-(prior, canonical) candidate."""
+    docs = _docs(spark, sf_dir)
+    m = _mentions(spark, sf_dir).cache()
+    m.count()
+    t = pattern_triples(m, docs, PREDICATES)
+    al = alias_table_from_gazetteer(spark, normalize_gazetteer(GAZETTEER),
+                                    EXTRA_ALIASES)
+    amap = (al.groupBy("alias")
+            .agg(F.max_by("canonical_id",
+                          F.struct("prior", "canonical_id")).alias("cid")))
+    subj_map = amap.selectExpr("alias AS subj", "cid AS src")
+    obj_map = amap.selectExpr("alias AS obj", "cid AS dst")
+    return (t.join(F.broadcast(subj_map), "subj")
+            .join(F.broadcast(obj_map), "obj")
+            .groupBy("src", "dst", "pred")
+            .agg(F.count("*").alias("weight")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -333,7 +376,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_ivf_knn": q24_ivf_knn,
         "q25_repeated_blocks": q25_repeated_blocks,
         "q26_json_props": q26_json_props,
+        "q27_link_scores": q27_link_scores,
+        "q28_kg_edges": q28_kg_edges,
     }
+
+
+def _alias_values_sql() -> str:
+    rows = []
+    for name, label in normalize_gazetteer(GAZETTEER):
+        canonical = name.replace(" ", "_")
+        rows.append(f"('{name}', '{canonical}', '{label}', 100)")
+        for al in EXTRA_ALIASES.get(name, ()):
+            rows.append(f"('{al.lower()}', '{canonical}', '{label}', 10)")
+    return ("al(alias, canonical_id, label, prior) AS (VALUES "
+            + ", ".join(rows) + ")")
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +625,54 @@ SELECT event_type, count(*) AS n_events,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
+""",
+        "q27_link_scores": f"""
+WITH {cte},
+{_alias_values_sql()},
+dt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+c AS (
+  SELECT m.doc_id, m."start", m."end", m.surface, a.canonical_id, a.label,
+         ln(1 + a.prior)
+         + len(list_distinct(list_intersect(
+             dt.toks, string_split(replace(a.canonical_id, '_', ' '), ' ')))) AS score
+  FROM mentions m
+  JOIN al a ON lower(m.surface) = a.alias
+  JOIN dt ON dt.doc_id = m.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, "start", "end", surface
+                               ORDER BY score DESC, canonical_id DESC) AS rn
+  FROM c
+)
+SELECT doc_id, "start", "end", surface, canonical_id, label,
+       CAST(round(score * 1000) AS BIGINT) AS score_milli
+FROM r WHERE rn = 1
+""",
+        "q28_kg_edges": f"""
+WITH {cte},
+preds(pred) AS (VALUES {pred_values}),
+{_alias_values_sql()},
+t AS (
+  SELECT m1.doc_id, m1.surface AS subj, p.pred, m2.surface AS obj
+  FROM mentions m1
+  JOIN mentions m2 ON m1.doc_id = m2.doc_id
+  CROSS JOIN preds p
+  JOIN d ON d.doc_id = m1.doc_id
+  WHERE m2."start" = m1."end" + 2 + length(p.pred)
+    AND substring(d.text, CAST(m1."end" AS INT) + 2, length(p.pred)) = p.pred
+    AND substring(d.text, CAST(m1."end" AS INT) + 1, 1) = ' '
+    AND substring(d.text, CAST(m1."end" + length(p.pred) AS INT) + 2, 1) = ' '
+),
+amap AS (
+  -- max prior is unique per alias in this table, so arg_max matches the
+  -- engine's max_by(canonical_id, struct(prior, canonical_id))
+  SELECT alias, arg_max(canonical_id, prior) AS cid FROM al GROUP BY alias
+)
+SELECT sm.cid AS src, om.cid AS dst, t.pred, count(*) AS weight
+FROM t
+JOIN amap sm ON t.subj = sm.alias
+JOIN amap om ON t.obj = om.alias
+GROUP BY 1, 2, 3
 """,
     }
 

@@ -103,3 +103,36 @@ def test_edges_weighted(pipe):
     edges = pipe.table("edges")
     assert set(edges.columns) == {"src", "dst", "pred", "weight"}
     assert edges.agg(F.sum("weight")).first()[0] >= edges.count()
+
+
+def test_link_argmax_prefers_context_and_prior(spark):
+    """Competing candidates for one surface: the argmax must weigh
+    log1p(prior) + context overlap, not just prior. Surface "hash" is both
+    its own entity (prior 100, profile {hash}) and an alias of hash_join
+    (prior 10, profile {hash, join}):
+
+      doc A "hash only here"   -> hash:      ln(101)+1 ≈ 5.62  vs hash_join: ln(11)+1 ≈ 3.40
+      doc B "hash join target" -> hash:      ln(101)+1 ≈ 5.62  vs hash_join: ln(11)+2 ≈ 4.40
+
+    prior dominates in both (documents the scoring shape); an alias with no
+    competing high-prior candidate links to its low-prior canonical.
+    """
+    from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+
+    docs = spark.createDataFrame(
+        [("a", "hash only here"), ("b", "hash join target"),
+         ("c", "acme rocks")],
+        "doc_id string, text string")
+    mentions = spark.createDataFrame(
+        [("a", 0, 4, "hash"), ("b", 0, 4, "hash"), ("c", 0, 4, "acme")],
+        "doc_id string, start long, end long, surface string")
+    al = alias_table_from_gazetteer(
+        spark, [("hash", "KW"), ("hash join", "OP"), ("widget", "ORG")],
+        extra_aliases={"hash join": ["hash"], "widget": ["acme"]})
+    # surface "acme" reaches canonical "widget" only via its prior-10 alias
+    out = {r["doc_id"]: r for r in link_mentions(mentions, docs, al).collect()}
+    assert out["a"]["canonical_id"] == "hash"
+    assert out["b"]["canonical_id"] == "hash"
+    assert out["b"]["score"] > out["a"]["score"] - 1e-9  # overlap never hurts
+    assert out["c"]["canonical_id"] == "widget"          # low-prior only path
+    assert abs(out["a"]["score"] - (5.61512051684126)) < 1e-9
