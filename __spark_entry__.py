@@ -22,7 +22,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from quickner_spark.filters import Filters
-from quickner_spark.operators.annotate import annotate_mentions, normalize_gazetteer
+from quickner_spark.operators.annotate import (
+    annotate_documents, annotate_mentions, maximal_mentions,
+    normalize_gazetteer)
+from quickner_spark.sources.loaders import infer_gazetteer
 from quickner_spark.operators import indexes as ix
 from quickner_spark.operators import textops as tx
 from quickner_spark.operators import simsearch as ss
@@ -343,6 +346,29 @@ def q28_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("weight")))
 
 
+def q29_maximal_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-match mention resolution (operators/annotate.py
+    maximal_mentions; the triple stage's input): drop mentions strictly
+    contained in a longer mention of the same doc — 'hash' inside
+    'hash join' goes, equal-span different-label survive. Left-anti
+    self-join on the doc key with a containment range condition."""
+    m = _mentions(spark, sf_dir).cache()
+    m.count()  # the anti-join references the matcher stage twice
+    return maximal_mentions(m)
+
+
+def q30_inferred_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 gazetteer inference (sources/loaders.py, quickner.rs:609-621):
+    surface of every span re-extracted from the STORED text by char
+    offsets, lowercased, set-deduped. Differentially proves
+    substring(text, start, end-start) round-trips the matcher's span
+    offsets; the oracle reads the surface column directly."""
+    gaz = normalize_gazetteer(GAZETTEER, case_sensitive=False)
+    annotated = annotate_documents(_docs(spark, sf_dir), gaz,
+                                   case_sensitive=False)
+    return infer_gazetteer(annotated)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -378,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_json_props": q26_json_props,
         "q27_link_scores": q27_link_scores,
         "q28_kg_edges": q28_kg_edges,
+        "q29_maximal_mentions": q29_maximal_mentions,
+        "q30_inferred_gazetteer": q30_inferred_gazetteer,
     }
 
 
@@ -673,6 +701,19 @@ FROM t
 JOIN amap sm ON t.subj = sm.alias
 JOIN amap om ON t.obj = om.alias
 GROUP BY 1, 2, 3
+""",
+        "q29_maximal_mentions": f"""
+WITH {cte}
+SELECT m.doc_id, m."start", m."end", m.label, m.surface
+FROM mentions m
+WHERE NOT EXISTS (
+  SELECT 1 FROM mentions b
+  WHERE b.doc_id = m.doc_id AND b."start" <= m."start" AND m."end" <= b."end"
+    AND (b."start" <> m."start" OR b."end" <> m."end"))
+""",
+        "q30_inferred_gazetteer": f"""
+WITH {cte}
+SELECT DISTINCT surface AS name, label FROM mentions
 """,
     }
 

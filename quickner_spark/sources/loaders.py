@@ -23,6 +23,7 @@ from quickner_spark.filters import Filters
 __all__ = [
     "load_texts_csv", "load_entities_csv", "load_excludes_csv",
     "from_jsonl", "from_spacy", "documents_from_rows", "doc_id_col",
+    "infer_gazetteer",
 ]
 
 DOC_SCHEMA = StructType([
@@ -76,7 +77,7 @@ def load_excludes_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.select(F.col(first).alias("name")).dropDuplicates()
 
 
-def _infer_gazetteer(documents: DataFrame) -> DataFrame:
+def infer_gazetteer(documents: DataFrame) -> DataFrame:
     """Gazetteer inference shared by S4/S5 (quickner.rs:609-621): surface
     form of every span, lowercased, set-deduped. Spans are char offsets, so
     ``substring`` (char-based on strings) needs no byte conversion —
@@ -106,7 +107,7 @@ def from_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
             t[0].cast("int").alias("start"),
             t[1].cast("int").alias("end"),
             t[2].alias("label"))).alias("label"))
-    return docs, _infer_gazetteer(docs)
+    return docs, infer_gazetteer(docs)
 
 
 def from_spacy(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -126,7 +127,7 @@ def from_spacy(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     docs = spark.createDataFrame(
         data, "text string, label array<struct<start:int,end:int,label:string>>"
     ).withColumn("id", doc_id_col("text")).select("id", "text", "label")
-    return docs, _infer_gazetteer(docs)
+    return docs, infer_gazetteer(docs)
 
 
 def documents_from_rows(spark: SparkSession, texts) -> DataFrame:
