@@ -104,3 +104,21 @@ def test_annotate_documents_passthrough_prunes(spark):
     plan = _executed(m)
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "n_chars" not in scan[0]
+
+
+def test_annotate_over_pages_never_reads_html(spark, tmp_path):
+    # The 100 TB claim: `html` is ~50x `text`; every post-extraction stage
+    # over the pages table must prune it from the scan or the annotate
+    # pass reads the whole corpus instead of ~2% of it (DESIGN_SCALE.md).
+    from quickner_spark.kg import corpus
+    from quickner_spark.operators.annotate import (annotate_mentions,
+                                                   normalize_gazetteer)
+    path = str(tmp_path / "pages")
+    corpus.synth_pages(spark, 50, partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    assert "html" in pages.columns  # the trap is actually present
+    m = annotate_mentions(pages, normalize_gazetteer([("acme", "ORG")]),
+                          id_col="url")
+    plan = _executed(m)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "html" not in scan[0] and "warc_ts" not in scan[0], scan
