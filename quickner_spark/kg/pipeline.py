@@ -59,15 +59,43 @@ class Pipeline:
     def table(self, stage_name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage_name))
 
-    def _write_metrics(self, stage: str, df_written: DataFrame, wall_ms: int):
-        per_part = (df_written
-                    .groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(F.count("*").alias("rows_out"))
-                    .withColumn("stage", F.lit(stage))
-                    .withColumn("wall_ms", F.lit(wall_ms))
-                    .withColumn("run_id", F.lit(self.run_id)))
-        (per_part.coalesce(1).write.mode("append")
-         .parquet(f"{self.base}/_metrics"))
+    def _write_metrics(self, stage: str, out_path: str, wall_ms: int):
+        """Per-partition lineage rows from the written files' parquet
+        FOOTERS — metadata-only, no Spark job, and crucially no second
+        pass over the table (re-scanning every stage output to count rows
+        is a full extra read of the corpus at 100 TB). Non-local
+        filesystems (hdfs://, s3a://) fall back to a metadata-count read
+        through Spark."""
+        import glob
+        import os
+
+        if "://" in self.base and not self.base.startswith("file:"):
+            per_part = (self.spark.read.parquet(out_path)
+                        .groupBy(F.spark_partition_id().alias("partition_id"))
+                        .agg(F.count("*").alias("rows_out"))
+                        .withColumn("stage", F.lit(stage))
+                        .withColumn("wall_ms", F.lit(wall_ms))
+                        .withColumn("run_id", F.lit(self.run_id)))
+            (per_part.coalesce(1).write.mode("append")
+             .parquet(f"{self.base}/_metrics"))
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(out_path, "**", "*.parquet"),
+                                 recursive=True))
+        rows = [pq.read_metadata(f).num_rows for f in files]
+        table = pa.table({
+            "partition_id": pa.array(range(len(files)), pa.int32()),
+            "rows_out": pa.array(rows, pa.int64()),
+            "stage": pa.array([stage] * len(files), pa.string()),
+            "wall_ms": pa.array([wall_ms] * len(files), pa.int32()),
+            "run_id": pa.array([self.run_id] * len(files), pa.string()),
+        })
+        mdir = os.path.join(self.base, "_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(table, os.path.join(
+            mdir, f"metrics-{stage}-{self.run_id}.parquet"))
 
     def run(self, force: bool = False, ctx: dict | None = None) -> dict[str, str]:
         """Execute all stages; returns {stage: 'ran'|'skipped'}. ``ctx`` is
@@ -88,8 +116,7 @@ class Pipeline:
                 writer = writer.partitionBy(*stage.partition_by)
             writer.parquet(out)
             wall_ms = int((time.time() - t0) * 1000)
-            written = self.spark.read.parquet(out)
-            self._write_metrics(stage.name, written, wall_ms)
+            self._write_metrics(stage.name, out, wall_ms)
             status[stage.name] = "ran"
         return status
 

@@ -9,24 +9,70 @@ which converges in O(graph diameter) rounds. Alias/canonicalization graphs
 are shallow (stars around a canonical name), so few rounds suffice. Each
 round is one shuffle (join on src + groupBy dst); ``localCheckpoint``
 truncates lineage so plans don't grow across iterations.
+
+Small graphs take a driver fast path (same rationale as a broadcast join:
+don't launch N distributed rounds against broadcast-sized data). The edge
+list is counted once; below ``driver_threshold`` edges it is collected and
+solved with union-find — identical min-label output, one job instead of
+3-4 per round. At KG scale the alias graph is |distinct aliases| ≈ 10^7,
+far above the threshold, and the distributed loop runs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 __all__ = ["connected_components"]
 
 
+def _driver_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find on a collected edge list; component = min node id —
+    the same fixpoint the distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    pairs = edges.select(src, dst).collect()
+    for r in pairs:
+        for n in (r[0], r[1]):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(r[0]), find(r[1])
+        if ru != rv:
+            # union by label order so every root is its component's min
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    node_type = edges.schema[src].dataType
+    schema = StructType([StructField("node", node_type, False),
+                         StructField("component", node_type, False)])
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """Undirected connected components. Returns (node, component) where
     component = min node id (orderable type) in the component.
 
     Deterministic: min-propagation has a unique fixpoint. Convergence is
     checked with a count of changed labels per round (one action per
     round; at scale, check every few rounds instead to save jobs).
+    ``driver_threshold``: edge count at or below which the union-find fast
+    path runs (0 disables it, used by differential tests).
     """
+    if driver_threshold:
+        edges = edges.localCheckpoint()  # count + reuse without recompute
+        if edges.count() <= driver_threshold:
+            return _driver_components(edges, src, dst)
     try:
         from graphframes import GraphFrame  # type: ignore
         vertices = (edges.select(F.col(src).alias("id"))

@@ -1,0 +1,107 @@
+"""Full-pipeline N vs 4N scaling: the WHOLE 7-stage KG build (extract →
+mentions → link → triples → canonicalize → nodes/edges), launched exactly
+as the north rule prescribes — ``spark-submit --py-files <zip>`` — at two
+pinned parallelism levels on the same pre-generated pages table.
+
+Reports wall, triples/sec at each level, and scaling efficiency. Unlike
+the annotate-stage benchmark (BENCH_SCALING.md headline), this includes
+every shuffle and every stage-commit parquet write, so it bounds the
+end-to-end pipeline's scaling, not just the hot kernel's.
+
+Usage: python scripts/bench_pipeline_scaling.py
+Env: PIPE_DOCS (default 80000), PIPE_LO/PIPE_HI (default 4/16),
+     PIPE_INTERLEAVES (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LO = int(os.environ.get("PIPE_LO", "4"))
+HI = int(os.environ.get("PIPE_HI", "16"))
+N_DOCS = int(os.environ.get("PIPE_DOCS", "80000"))
+INTERLEAVES = int(os.environ.get("PIPE_INTERLEAVES", "2"))
+BASE = os.environ.get("PIPE_BASE", "/tmp/quickner_pipe_scaling")
+ZIP = "/tmp/quickner_spark.zip"
+
+
+def _gen_pages(path: str) -> None:
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from quickner_spark.session import get_spark
+from quickner_spark.kg import corpus
+spark = get_spark("pipe-gen", cores=32)
+spark.sparkContext.setLogLevel("ERROR")
+corpus.synth_pages(spark, {N_DOCS}, seed=42, gaz_size=999,
+                   partitions=128).write.mode("overwrite").parquet({path!r})
+print("generated")
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   capture_output=True, text=True, timeout=1200)
+
+
+def _submit(cores: int, out_dir: str) -> dict:
+    """spark-submit --py-files, process tree pinned to `cores` cores."""
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", f"{max(cores, 4)}g",
+        "--py-files", ZIP,
+        os.path.join(REPO, "scripts", "run_kg_pipeline.py"),
+        "--pages", os.path.join(BASE, "pages"),
+        "--out", out_dir, "--cores", str(cores),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
+                         env={**os.environ, "PYTHONPATH": REPO})
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-3000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    pages = os.path.join(BASE, "pages")
+    if not os.path.exists(os.path.join(pages, "_SUCCESS")):
+        os.makedirs(BASE, exist_ok=True)
+        _gen_pages(pages)
+    if not os.path.exists(ZIP):
+        subprocess.run(["zip", "-qr", ZIP, "quickner_spark"],
+                       cwd=REPO, check=True)
+    runs: dict[int, list[dict]] = {LO: [], HI: []}
+    for i in range(INTERLEAVES):
+        for cores in (LO, HI):
+            out_dir = os.path.join(BASE, f"kg_{cores}_{i}")
+            shutil.rmtree(out_dir, ignore_errors=True)  # fresh: no skip
+            r = _submit(cores, out_dir)
+            assert all(v == "ran" for v in r["status"].values()), r["status"]
+            runs[cores].append(r)
+            shutil.rmtree(out_dir, ignore_errors=True)
+    lo = max(runs[LO], key=lambda r: r["triples_per_sec"])
+    hi = max(runs[HI], key=lambda r: r["triples_per_sec"])
+    assert lo["rows"] == hi["rows"], (lo["rows"], hi["rows"])
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (HI / LO)
+    result = {
+        "job": "full 7-stage KG pipeline via spark-submit --py-files",
+        "n_docs": N_DOCS,
+        f"local{LO}": lo, f"local{HI}": hi,
+        "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
+        fh.write(
+            f"| FULL PIPELINE (spark-submit --py-files), {N_DOCS} pages "
+            f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s) "
+            f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s) "
+            f"| speedup {result['speedup']}x "
+            f"| efficiency {result['scaling_efficiency']} |\n")
+
+
+if __name__ == "__main__":
+    main()

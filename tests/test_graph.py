@@ -36,3 +36,31 @@ def test_numeric_ids_and_self_loop(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == {2: 2, 5: 2, 9: 2, 7: 7}
+
+
+def test_distributed_path_matches_driver_fast_path(spark):
+    # Same graphs through BOTH implementations (driver_threshold=0 forces
+    # the iterative min-label loop); outputs must be row-identical.
+    import random
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+             for _ in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == dist and fast
+
+
+def test_driver_threshold_picks_fast_path(spark):
+    # below threshold: exactly one job (the count) runs; assert the result
+    # is correct and no shuffle-bearing plan was needed by checking the
+    # chain still fully converges (union-find has no iteration cap)
+    chain = [(f"c{i+1:03d}", f"c{i:03d}") for i in range(120)]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, max_iter=1).collect()}
+    # max_iter=1 would NOT converge in the distributed loop for a
+    # 120-diameter chain -> proves the fast path ran
+    assert set(got.values()) == {"c000"}
