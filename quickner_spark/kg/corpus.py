@@ -129,12 +129,18 @@ def page_html(text: str, title: str) -> bytes:
 
 
 def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
-                gaz_size: int = 999, partitions: int | None = None) -> DataFrame:
+                gaz_size: int = 999, partitions: int | None = None,
+                sents_per_page: int = 1) -> DataFrame:
     """Distributed generation of the pages table. Hot-domain skew: domain
-    rank chosen Zipf-style, so ~40% of urls land on one domain."""
+    rank chosen Zipf-style, so ~40% of urls land on one domain.
+    ``sents_per_page`` > 1 concatenates that many generated pages into one
+    heavy page (url/meta keyed on the page index; used by the scaling
+    benchmarks to give each row realistic compute weight; default 1 keeps
+    the golden-triples contract byte-identical)."""
     gaz = synth_gazetteer(gaz_size, seed)
     sc_partitions = partitions or max(8, n_docs // 25_000)
     base = spark.range(0, n_docs, 1, sc_partitions)
+    spp = sents_per_page
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         epoch = dt.datetime(2024, 1, 1)
@@ -142,7 +148,11 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
             urls, tss, htmls, texts, langs = [], [], [], [], []
             for i in pdf["id"].values:
                 i = int(i)
-                text, _ = page_text(i, gaz, seed)
+                if spp == 1:
+                    text, _ = page_text(i, gaz, seed)
+                else:
+                    text = " ".join(page_text(i * spp + k, gaz, seed)[0]
+                                    for k in range(spp))
                 r = _h(seed, "meta", i)
                 domain = _zipf_pick(_DOMAINS, r)
                 urls.append(f"https://{domain}/doc/{i}")

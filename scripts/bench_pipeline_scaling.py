@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LO = int(os.environ.get("PIPE_LO", "4"))
 HI = int(os.environ.get("PIPE_HI", "16"))
 N_DOCS = int(os.environ.get("PIPE_DOCS", "80000"))
+SENTS = int(os.environ.get("PIPE_SENTS", "12"))
 INTERLEAVES = int(os.environ.get("PIPE_INTERLEAVES", "2"))
 BASE = os.environ.get("PIPE_BASE", "/tmp/quickner_pipe_scaling")
 ZIP = "/tmp/quickner_spark.zip"
@@ -37,8 +38,8 @@ from quickner_spark.session import get_spark
 from quickner_spark.kg import corpus
 spark = get_spark("pipe-gen", cores=32)
 spark.sparkContext.setLogLevel("ERROR")
-corpus.synth_pages(spark, {N_DOCS}, seed=42, gaz_size=999,
-                   partitions=128).write.mode("overwrite").parquet({path!r})
+corpus.synth_pages(spark, {N_DOCS}, seed=42, gaz_size=999, partitions=128,
+                   sents_per_page={SENTS}).write.mode("overwrite").parquet({path!r})
 print("generated")
 spark.stop()
 """
@@ -96,7 +97,7 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
         fh.write(
-            f"| FULL PIPELINE (spark-submit --py-files), {N_DOCS} pages "
+            f"| FULL PIPELINE (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
             f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s) "
             f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s) "
             f"| speedup {result['speedup']}x "
