@@ -53,6 +53,11 @@ def _submit(cores: int, out_dir: str) -> dict:
         "taskset", "-c", f"0-{cores - 1}",
         "spark-submit", "--master", f"local[{cores}]",
         "--driver-memory", f"{max(cores, 4)}g",
+        # PIPE_SPARK_TMP=/dev/shm/... takes the single shared virtual disk
+        # out of the measurement (stage outputs already go to PIPE_BASE):
+        # cluster executors each bring their own local disks, one box does
+        # not — shuffle spill on tmpfs models per-executor storage.
+        "--conf", f"spark.local.dir={os.environ.get('PIPE_SPARK_TMP', '/tmp')}",
         "--py-files", ZIP,
         os.path.join(REPO, "scripts", "run_kg_pipeline.py"),
         "--pages", os.path.join(BASE, "pages"),
