@@ -4,6 +4,7 @@ from quickner_spark.streaming.annotate_stream import (
     streaming_dedup,
     stateful_session_counts,
 )
+from quickner_spark.streaming.kg_stream import incremental_kg, kg_batch_increment
 
 __all__ = ["annotate_stream", "windowed_label_counts", "streaming_dedup",
-           "stateful_session_counts"]
+           "stateful_session_counts", "incremental_kg", "kg_batch_increment"]
