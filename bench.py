@@ -43,6 +43,8 @@ HEADLINE = [
     "q23_fingerprint",
     "q24_ivf_knn",
     "q25_repeated_blocks",
+    "q27_link_scores",
+    "q29_maximal_mentions",
 ]
 
 

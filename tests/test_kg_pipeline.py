@@ -136,3 +136,58 @@ def test_link_argmax_prefers_context_and_prior(spark):
     assert out["b"]["score"] > out["a"]["score"] - 1e-9  # overlap never hurts
     assert out["c"]["canonical_id"] == "widget"          # low-prior only path
     assert abs(out["a"]["score"] - (5.61512051684126)) < 1e-9
+
+
+def test_link_optimized_plan_matches_naive(spark):
+    """Differential guard for the scale-shaped link plan (argmax per
+    (doc, alias) + vocab-filtered overlap): compare against a literal
+    per-mention implementation — token-set intersection per (mention,
+    candidate), max by (score, canonical_id) — on a deterministic fixture
+    with multi-candidate aliases, repeated surfaces, and mentions whose
+    candidates share tokens with the doc."""
+    import itertools
+    import math
+
+    from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+
+    gaz = [("acme systems", "ORG"), ("acme", "ORG"), ("beta", "ORG"),
+           ("gamma works", "ORG")]
+    extra = {"acme systems": ["acme", "asys"], "gamma works": ["beta"]}
+    words = ["acme", "systems", "beta", "works", "gamma", "zeta", "q"]
+    docs = []
+    for i, combo in enumerate(itertools.combinations(words, 4)):
+        docs.append((f"d{i}", " ".join(combo)))
+    mentions = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        pos = 0
+        for t in toks:
+            if t in ("acme", "beta", "asys"):
+                mentions.append((doc_id, pos, pos + len(t), t))
+            pos += len(t) + 1
+    mdf = spark.createDataFrame(
+        mentions, "doc_id string, start long, end long, surface string")
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    al = alias_table_from_gazetteer(spark, gaz, extra)
+    got = {(r["doc_id"], r["start"], r["end"]):
+           (r["canonical_id"], r["label"], round(r["score"], 9))
+           for r in link_mentions(mdf, ddf, al).collect()}
+    # naive oracle in plain Python
+    alias_rows = [(r["alias"], r["canonical_id"], r["label"], r["prior"])
+                  for r in al.collect()]
+    texts = dict(docs)
+    exp = {}
+    for doc_id, start, end, surface in mentions:
+        toks = set(texts[doc_id].lower().split(" "))
+        best = None
+        for alias, cid, lab, prior in alias_rows:
+            if alias != surface.lower():
+                continue
+            ov = len(toks & set(cid.replace("_", " ").split(" ")))
+            score = math.log1p(prior) + ov
+            key = (score, cid)
+            if best is None or key > best[0]:
+                best = (key, cid, lab, score)
+        if best:
+            exp[(doc_id, start, end)] = (best[1], best[2], round(best[3], 9))
+    assert got == exp and len(got) > 20
