@@ -23,7 +23,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["decode_image_stub", "image_features", "frame_sample"]
+__all__ = ["decode_image_stub", "image_features", "frame_sample",
+           "resize_stub", "resize_images", "decode_audio_stub",
+           "audio_features"]
 
 FEATURE_DIM = 16
 
@@ -89,3 +91,77 @@ def frame_sample(df: DataFrame, bytes_col: str = "data",
 
     return df.select(key_col, bytes_col).mapInPandas(
         gen, f"{key_col} long, frame int, feature array<float>")
+
+
+def resize_stub(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy — real math over the stub
+    decode; a deployment swaps in PIL's resampling, same shape contract."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def resize_images(df: DataFrame, height: int = 4, width: int = 4,
+                  bytes_col: str = "data",
+                  key_col: str = "media_id") -> DataFrame:
+    """(key, bytes) -> (key, ok, height, width, pixels binary): decode +
+    resize, re-emitting raw pixel bytes as an opaque binary column (the
+    blob-stays-binary rule holds on output too — downstream predicates get
+    the typed height/width columns, never the pixels)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, oks, hs, ws, px = [], [], [], [], []
+            for k, b in zip(pdf[key_col].values, pdf[bytes_col].values):
+                img = decode_image_stub(b)
+                keys.append(k)
+                if img is None:
+                    oks.append(False); hs.append(0); ws.append(0)
+                    px.append(b"")
+                    continue
+                r = resize_stub(img, height, width)
+                oks.append(True); hs.append(height); ws.append(width)
+                px.append(r.tobytes())
+            yield pd.DataFrame({key_col: keys, "ok": oks, "height": hs,
+                                "width": ws, "pixels": px})
+
+    return df.select(key_col, bytes_col).mapInPandas(
+        gen, f"{key_col} long, ok boolean, height int, width int, "
+             "pixels binary")
+
+
+def decode_audio_stub(data: bytes, n_samples: int = 256) -> np.ndarray | None:
+    """STUB audio decoder (swap for torchaudio/ffmpeg): deterministic
+    float32 waveform in [-1, 1) derived from a shake_256 stream."""
+    if not data:
+        return None
+    raw = hashlib.shake_256(b"audio" + data).digest(n_samples)
+    return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+
+
+def audio_features(df: DataFrame, bytes_col: str = "data",
+                   key_col: str = "media_id", n_windows: int = 8) -> DataFrame:
+    """(key, bytes) -> (key, ok, rms array<float>, zero_crossings int):
+    windowed RMS energy + zero-crossing count over the decoded waveform —
+    the audio twin of image_features, same Arrow batch shape."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, oks, rms, zc = [], [], [], []
+            for k, b in zip(pdf[key_col].values, pdf[bytes_col].values):
+                wave = decode_audio_stub(b)
+                keys.append(k)
+                if wave is None:
+                    oks.append(False); rms.append([0.0] * n_windows)
+                    zc.append(0)
+                    continue
+                wins = np.array_split(wave, n_windows)
+                oks.append(True)
+                rms.append([float(np.sqrt(np.mean(w * w))) for w in wins])
+                zc.append(int(np.sum(np.signbit(wave[1:]) !=
+                                     np.signbit(wave[:-1]))))
+            yield pd.DataFrame({key_col: keys, "ok": oks, "rms": rms,
+                                "zero_crossings": zc})
+
+    return df.select(key_col, bytes_col).mapInPandas(
+        gen, f"{key_col} long, ok boolean, rms array<float>, "
+             "zero_crossings int")

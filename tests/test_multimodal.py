@@ -51,3 +51,32 @@ def test_media_plan_prunes_metadata(spark):
     plan = df.select("media_id", "mime").queryExecution if False else None
     pruned = df.select("media_id", "mime")
     assert "data" not in pruned.columns
+
+
+def test_resize_images_shape_and_blob_rule(media):
+    from quickner_spark.operators.multimodal import resize_images, resize_stub, decode_image_stub
+    out = resize_images(media, height=4, width=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    ok = rows[0]
+    assert ok["ok"] and ok["height"] == 4 and ok["width"] == 4
+    assert len(ok["pixels"]) == 4 * 4 * 3  # raw bytes, typed dims outside
+    # deterministic: equals driver-side resize of the stub decode
+    import numpy as np
+    expected = resize_stub(decode_image_stub(b"payload-0"), 4, 4).tobytes()
+    assert bytes(ok["pixels"]) == expected
+    bad = rows[99]
+    assert not bad["ok"] and len(bad["pixels"]) == 0
+
+
+def test_audio_features_windows_and_error_path(media):
+    from quickner_spark.operators.multimodal import audio_features, decode_audio_stub
+    import numpy as np
+    out = audio_features(media, n_windows=8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    ok = rows[3]
+    assert ok["ok"] and len(ok["rms"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in ok["rms"])
+    wave = decode_audio_stub(b"payload-3" * 4)
+    assert ok["zero_crossings"] == int(np.sum(
+        np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+    assert not rows[99]["ok"] and rows[99]["zero_crossings"] == 0
