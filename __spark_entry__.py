@@ -369,6 +369,16 @@ def q30_inferred_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_gazetteer(annotated)
 
 
+def q31_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH bucketing (scale path of q18): bucket
+    self-join candidates verified with the identical integer predicate —
+    emitted rows are a proven subset of q18 (tests/test_simsearch.py
+    asserts subset + recall>=0.7). Rows-only check (bucketing is
+    hash-function-specific)."""
+    return ss.lsh_dup_pairs(_emb(spark, sf_dir), threshold_pct=40,
+                            n_planes=4, n_tables=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -406,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_kg_edges": q28_kg_edges,
         "q29_maximal_mentions": q29_maximal_mentions,
         "q30_inferred_gazetteer": q30_inferred_gazetteer,
+        "q31_lsh_dup_pairs": q31_lsh_dup_pairs,
     }
 
 

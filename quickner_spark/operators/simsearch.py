@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
-           "embedding_dup_pairs"]
+           "embedding_dup_pairs", "lsh_dup_pairs"]
 
 
 def _quantize(col, scale: int = 1000):
@@ -213,6 +213,75 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
             .select("probe_id", "neighbor_id", "rank", "cosine"))
 
 
+def _lsh_signatures(v: DataFrame, dim: int, n_planes: int, n_tables: int,
+                    seed: int, id_col: str) -> DataFrame:
+    """(id, v) -> (id, tbl, sig): sign-LSH signatures per hash table.
+    Hyperplanes derive deterministically from xxhash64(seed, index) — no
+    driver randomness; computed relationally (posexplode dims -> broadcast
+    plane-weight join -> two aggregations) so the plan is constant-size
+    for any dimensionality."""
+    spark = v.sparkSession
+    planes = (spark.range(n_tables * n_planes * dim)
+              .select((F.col("id") / (n_planes * dim)).cast("int").alias("tbl"),
+                      ((F.col("id") / dim) % n_planes).cast("int").alias("plane"),
+                      (F.col("id") % dim).cast("int").alias("d"),
+                      F.when(F.xxhash64(F.lit(seed), F.col("id")) % 2 == 0,
+                             F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w")))
+    vex = v.select(id_col, F.posexplode("v").alias("d", "x"))
+    proj = (vex.join(F.broadcast(planes), "d")
+            .groupBy(id_col, "tbl", "plane")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
+    return (proj.groupBy(id_col, "tbl")
+            .agg(F.sum(F.when(F.col("s") >= 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sig")))
+
+
+def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
+                  n_tables: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding", scale: int = 100,
+                  seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 100 TB path next to
+    the exact ``embedding_dup_pairs`` (which broadcasts the matrix).
+
+    Candidates = id_a < id_b sharing any (table, signature) bucket; each
+    candidate is then verified with the SAME integer-exact quantized
+    cosine predicate as the exact operator, so output rows are a subset of
+    the exact pair set (precision 1.0 by construction; recall grows with
+    n_tables — asserted against the exact operator in
+    tests/test_simsearch.py). The self-join is an equi-join on (tbl, sig):
+    bucket sizes, not N^2, bound the work; at corpus scale add bucket-size
+    capping exactly like the shingle doc_freq_cap."""
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    sig = _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
+    n2 = F.aggregate(F.transform("q", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    qn = q.withColumn("n2", n2)
+    qa = qn.select(F.col(id_col).alias("id_a"), F.col("q").alias("qa"),
+                   F.col("n2").alias("n2_a"))
+    qb = qn.select(F.col(id_col).alias("id_b"), F.col("q").alias("qb"),
+                   F.col("n2").alias("n2_b"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    t2 = threshold_pct * threshold_pct
+    return (pairs.join(qa, "id_a").join(qb, "id_b")
+            .withColumn("dot", dot)
+            .where((F.col("dot") > 0)
+                   & (F.col("dot") * F.col("dot") * F.lit(10000)
+                      >= F.lit(t2) * F.col("n2_a") * F.col("n2_b")))
+            .select("id_a", "id_b", "dot", "n2_a", "n2_b"))
+
+
 def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
              n_tables: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
@@ -232,21 +301,7 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     spark = df.sparkSession
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    # plane-weight table: (tbl, plane, d, w in {-1,+1}), deterministic
-    planes = (spark.range(n_tables * n_planes * dim)
-              .select((F.col("id") / (n_planes * dim)).cast("int").alias("tbl"),
-                      ((F.col("id") / dim) % n_planes).cast("int").alias("plane"),
-                      (F.col("id") % dim).cast("int").alias("d"),
-                      F.when(F.xxhash64(F.lit(seed), F.col("id")) % 2 == 0,
-                             F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w")))
-    vex = v.select(id_col, F.posexplode("v").alias("d", "x"))
-    proj = (vex.join(F.broadcast(planes), "d")
-            .groupBy(id_col, "tbl", "plane")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
-    sig = (proj.groupBy(id_col, "tbl")
-           .agg(F.sum(F.when(F.col("s") >= 0,
-                             F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-                      .otherwise(F.lit(0).cast("long"))).alias("sig")))
+    sig = _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col)
     buckets = v.join(sig, id_col).select(id_col, "v", "tbl", "sig")
     probes = buckets.where(F.col(id_col).isin(list(probe_ids)))
     cand = (buckets.alias("c").join(

@@ -90,3 +90,24 @@ def test_ivf_deterministic(emb):
     b = sorted(map(tuple, ss.ivf_topk(emb, k=3, probe_ids=[0],
                                       nlist=8, nprobe=3).collect()))
     assert a == b
+
+
+def test_lsh_dup_pairs_subset_and_recall(emb):
+    """The LSH-bucketed near-dup scale path: every emitted pair must pass
+    the SAME integer predicate as the exact operator (precision 1.0 —
+    exact subset), and with 16 tables recall over the exact pair set is
+    high on this corpus."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in ss.embedding_dup_pairs(emb, threshold_pct=40).collect()}
+    approx_rows = ss.lsh_dup_pairs(emb, threshold_pct=40, n_planes=4,
+                                   n_tables=16).collect()
+    approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+    assert approx <= exact                     # verified => subset
+    assert exact, "fixture must produce exact pairs"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.7, recall
+    # emitted payload matches the exact operator's row for the same pair
+    exact_rows = {(r["id_a"], r["id_b"]): (r["dot"], r["n2_a"], r["n2_b"])
+                  for r in ss.embedding_dup_pairs(emb, threshold_pct=40).collect()}
+    for r in approx_rows:
+        assert exact_rows[(r["id_a"], r["id_b"])] == (r["dot"], r["n2_a"], r["n2_b"])
