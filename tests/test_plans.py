@@ -122,3 +122,18 @@ def test_annotate_over_pages_never_reads_html(spark, tmp_path):
     plan = _executed(m)
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "html" not in scan[0] and "warc_ts" not in scan[0], scan
+
+
+def test_link_scores_plan_broadcasts_and_no_cartesian(spark):
+    df = E.q27_link_scores(spark, SF)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan          # alias table + vocab sides
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan           # the (doc, alias) argmax agg
+
+
+def test_kg_edges_plan_broadcasts_maps(spark):
+    df = E.q28_kg_edges(spark, SF)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # subj and obj alias maps
+    assert "CartesianProduct" not in plan
