@@ -274,8 +274,14 @@ def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprints (min token-digest per 8-token
-    block; md5-hex digests so the oracle computes the identical set)."""
-    return tx.fingerprint(_docs(spark, sf_dir), window=8)
+    block; md5-hex digests so the oracle computes the identical set).
+
+    The operator returns ``fingerprint array<string>``; the driver-facing
+    query flattens it to a comma-joined scalar so the harness canonicalizer
+    (pandas sort_values) can hash it — list-valued cells are unhashable."""
+    out = tx.fingerprint(_docs(spark, sf_dir), window=8)
+    return out.select("doc_id",
+                      F.concat_ws(",", "fingerprint").alias("fingerprint"))
 
 
 def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +486,7 @@ SELECT doc_id,
 FROM documents
 """,
         "q09_corpus_stats": """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang
 """,
@@ -641,10 +647,10 @@ FROM mentions GROUP BY 1
         "q23_fingerprint": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
-  list_sort(list_distinct([
+  array_to_string(list_sort(list_distinct([
      list_min(list_transform(toks[(i*8+1):(i*8+8)], t -> md5(t)))
      FOR i IN range(0, CAST(floor((len(toks)-1)/8) AS INT) + 1)
-  ])) AS fingerprint
+  ])), ',') AS fingerprint
 FROM t
 """,
         "q25_repeated_blocks": """
@@ -660,7 +666,7 @@ FROM b GROUP BY 1 HAVING count(*) >= 2
 """,
         "q26_json_props": """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
