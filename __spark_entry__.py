@@ -385,6 +385,28 @@ def q31_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n_planes=4, n_tables=16)
 
 
+def q32_conll_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 distributed CoNLL writer (sinks/formats.py::conll_lines,
+    models.rs:123-165 heuristic): annotate the corpus, order spans by
+    (start, end, label), render each document's token\\tlabel block as one
+    ``value`` string, all via JVM-side higher-order functions. The oracle
+    restates the tagging relationally (first word containing each span's
+    surface, later spans overwrite) — agreement proves the export logic,
+    not just the writer plumbing."""
+    from quickner_spark.sinks.formats import conll_lines
+
+    m = _mentions(spark, sf_dir)
+    lab = (m.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("start").cast("int").alias("start"),
+               F.col("end").cast("int").alias("end"),
+               F.col("label")))).alias("label")))
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.lower("text").alias("text"))
+            .join(lab, "doc_id", "left"))
+    return conll_lines(docs, keep_cols=("doc_id",))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -423,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_maximal_mentions": q29_maximal_mentions,
         "q30_inferred_gazetteer": q30_inferred_gazetteer,
         "q31_lsh_dup_pairs": q31_lsh_dup_pairs,
+        "q32_conll_export": q32_conll_export,
     }
 
 
@@ -731,6 +754,37 @@ WHERE NOT EXISTS (
         "q30_inferred_gazetteer": f"""
 WITH {cte}
 SELECT DISTINCT surface AS name, label FROM mentions
+""",
+        "q32_conll_export": f"""
+WITH {cte},
+spans AS (
+  SELECT doc_id, label, surface,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY "start", "end", label) AS ord
+  FROM mentions
+),
+dt AS (SELECT doc_id, lower(text) AS text FROM documents),
+w AS (
+  SELECT dt.doc_id, t.i,
+         list_extract(string_split(dt.text, ' '), t.i) AS word
+  FROM dt, LATERAL (
+    SELECT unnest(range(1, len(string_split(dt.text, ' ')) + 1)) AS i) t
+),
+hits AS (
+  SELECT s.doc_id, s.ord, s.label, min(w.i) AS first_i
+  FROM spans s JOIN w ON w.doc_id = s.doc_id AND contains(w.word, s.surface)
+  GROUP BY 1, 2, 3
+),
+tags AS (
+  SELECT w.doc_id, w.i, w.word,
+         coalesce(arg_max(h.label, h.ord), 'O') AS tag
+  FROM w LEFT JOIN hits h ON h.doc_id = w.doc_id AND h.first_i = w.i
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       string_agg(word || chr(9) || tag, chr(10) ORDER BY i) || chr(10)
+         AS value
+FROM tags GROUP BY doc_id
 """,
     }
 

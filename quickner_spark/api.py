@@ -80,6 +80,36 @@ class Document:
         spans = ", ".join(f"({s}, {e}, {l})" for s, e, l in self.label)
         return f'Document(id="{self.id}", text="{self.text}", label=[{spans}])'
 
+    def pretty(self) -> str:
+        """ANSI-highlighted span rendering (src/pydocument.rs:122-168):
+        each distinct label gets a color cycling [red..cyan] in FIRST-SEEN
+        order of the unsorted span list; spans are then walked sorted by
+        start, each annotated ``colorized(surface)[LABEL]``. Out-of-range
+        offsets raise ValueError (pydocument.rs:154-158). The reference
+        slices bytes (panics on overlapping spans and splits multi-byte
+        chars); we slice chars — identical output for ASCII,
+        well-defined otherwise, and overlapping spans render with empty
+        gap text instead of crashing (the reference marks its own overlap
+        handling as broken: pydocument.rs:118 TODO)."""
+        colors = [31, 32, 33, 34, 35, 36]  # red green yellow blue magenta cyan
+        color_map: dict[str, int] = {}
+        for _, _, lab in self.label:
+            if lab not in color_map:
+                color_map[lab] = colors[len(color_map) % len(colors)]
+        out = []
+        pos = 0
+        for s, e, lab in sorted(self.label, key=lambda t: t[0]):
+            if s > len(self.text) or e > len(self.text):
+                raise ValueError(
+                    "start_label is greater than the length of the text")
+            code = color_map[lab]
+            out.append(self.text[pos:s])
+            out.append(f"\x1b[{code}m{self.text[s:e]}\x1b[0m")
+            out.append(f"[{lab}]")
+            pos = e
+        out.append(self.text[pos:])
+        return "".join(out)
+
 
 class Quickner:
     """src/pyquickner.rs — session facade, Spark-backed batch paths."""

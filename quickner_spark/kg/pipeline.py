@@ -47,17 +47,52 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, base_dir: str, stages: list[Stage]):
+    """``catalog=None`` (default): stage outputs are parquet directories
+    under ``base_dir`` with ``_SUCCESS`` commit markers. ``catalog`` set to
+    an Iceberg namespace (e.g. ``"iceberg.kg"``): outputs become catalog
+    tables written with ``writeTo(...).partitionedBy(...).createOrReplace()``
+    and resumability checks ``tableExists`` — same driver logic, swapped
+    storage commands (this container ships no Iceberg runtime; the catalog
+    path is unit-tested via writer-selection tests, runtime-gated)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, stages: list[Stage],
+                 catalog: str | None = None):
         self.spark = spark
         self.base = base_dir.rstrip("/")
         self.stages = stages
+        self.catalog = catalog
         self.run_id = uuid.uuid4().hex[:12]
 
     def path(self, stage_name: str) -> str:
+        if self.catalog:
+            return f"{self.catalog}.{stage_name}"
         return f"{self.base}/{stage_name}"
 
     def table(self, stage_name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self.path(stage_name))
         return self.spark.read.parquet(self.path(stage_name))
+
+    def _stage_exists(self, out: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(out)
+        return _exists(self.spark, out)
+
+    def _write_stage(self, df: DataFrame, stage: Stage, out: str) -> None:
+        """Writer selection: Iceberg v2 ``writeTo`` when a catalog is
+        configured, parquet directory otherwise. An Iceberg
+        ``createOrReplace`` is a single atomic snapshot commit — the
+        catalog-mode counterpart of the parquet ``_SUCCESS`` marker."""
+        if self.catalog:
+            w = df.writeTo(out)
+            if stage.partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in stage.partition_by])
+            w.createOrReplace()
+            return
+        writer = df.write.mode("overwrite")
+        if stage.partition_by:
+            writer = writer.partitionBy(*stage.partition_by)
+        writer.parquet(out)
 
     def _write_metrics(self, stage: str, out_path: str, wall_ms: int):
         """Per-partition lineage rows from the written files' parquet
@@ -68,7 +103,22 @@ class Pipeline:
         through Spark."""
         import glob
         import os
+        from urllib.parse import urlparse
 
+        if self.catalog:
+            per_part = (self.spark.read.table(out_path)
+                        .groupBy(F.spark_partition_id().alias("partition_id"))
+                        .agg(F.count("*").alias("rows_out"))
+                        .withColumn("stage", F.lit(stage))
+                        .withColumn("wall_ms", F.lit(wall_ms))
+                        .withColumn("run_id", F.lit(self.run_id)))
+            tbl = f"{self.catalog}.metrics"
+            w = per_part.coalesce(1).writeTo(tbl)
+            if self.spark.catalog.tableExists(tbl):
+                w.append()
+            else:
+                w.create()
+            return
         if "://" in self.base and not self.base.startswith("file:"):
             per_part = (self.spark.read.parquet(out_path)
                         .groupBy(F.spark_partition_id().alias("partition_id"))
@@ -82,6 +132,12 @@ class Pipeline:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # a file:// base reaches this local branch — strip the scheme, or
+        # glob matches nothing and a zero-row metrics file is written
+        def _local(p: str) -> str:
+            return urlparse(p).path if p.startswith("file:") else p
+
+        out_path = _local(out_path)
         files = sorted(glob.glob(os.path.join(out_path, "**", "*.parquet"),
                                  recursive=True))
         rows = [pq.read_metadata(f).num_rows for f in files]
@@ -92,7 +148,7 @@ class Pipeline:
             "wall_ms": pa.array([wall_ms] * len(files), pa.int32()),
             "run_id": pa.array([self.run_id] * len(files), pa.string()),
         })
-        mdir = os.path.join(self.base, "_metrics")
+        mdir = os.path.join(_local(self.base), "_metrics")
         os.makedirs(mdir, exist_ok=True)
         pq.write_table(table, os.path.join(
             mdir, f"metrics-{stage}-{self.run_id}.parquet"))
@@ -106,28 +162,30 @@ class Pipeline:
         status: dict[str, str] = {}
         for stage in self.stages:
             out = self.path(stage.name)
-            if not force and _exists(self.spark, out):
+            if not force and self._stage_exists(out):
                 status[stage.name] = "skipped"
                 continue
             t0 = time.time()
             df = stage.fn(self.spark, ctx)
-            writer = df.write.mode("overwrite")
-            if stage.partition_by:
-                writer = writer.partitionBy(*stage.partition_by)
-            writer.parquet(out)
+            self._write_stage(df, stage, out)
             wall_ms = int((time.time() - t0) * 1000)
             self._write_metrics(stage.name, out, wall_ms)
             status[stage.name] = "ran"
         return status
 
     def metrics(self) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.metrics")
         return self.spark.read.parquet(f"{self.base}/_metrics")
 
 
 def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       pages_path: str, gazetteer: list[tuple[str, str]],
-                      predicates: tuple[str, ...]) -> Pipeline:
-    """The standard 7-stage KG build over a pages table."""
+                      predicates: tuple[str, ...],
+                      catalog: str | None = None) -> Pipeline:
+    """The standard 7-stage KG build over a pages table. ``catalog``: an
+    Iceberg namespace to write catalog tables into instead of parquet
+    directories (see ``Pipeline``)."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -201,4 +259,4 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         Stage("aliases", s_aliases),
         Stage("nodes", s_nodes),
         Stage("edges", s_edges, partition_by=("pred",)),
-    ])
+    ], catalog=catalog)

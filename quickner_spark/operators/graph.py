@@ -12,7 +12,8 @@ truncates lineage so plans don't grow across iterations.
 
 Small graphs take a driver fast path (same rationale as a broadcast join:
 don't launch N distributed rounds against broadcast-sized data). The edge
-list is counted once; below ``driver_threshold`` edges it is collected and
+list is persisted (MEMORY_AND_DISK — recoverable, unlike localCheckpoint)
+and counted once; below ``driver_threshold`` edges it is collected and
 solved with union-find — identical min-label output, one job instead of
 3-4 per round. At KG scale the alias graph is |distinct aliases| ≈ 10^7,
 far above the threshold, and the distributed loop runs.
@@ -69,23 +70,41 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``driver_threshold``: edge count at or below which the union-find fast
     path runs (0 disables it, used by differential tests).
     """
+    persisted = None
     if driver_threshold:
-        edges = edges.localCheckpoint()  # count + reuse without recompute
+        # persist (recoverable, spillable) rather than localCheckpoint:
+        # localCheckpoint materializes the whole edge list to executor
+        # storage eagerly AND is not fault-tolerant — an executor loss
+        # during the distributed loop would be unrecoverable instead of a
+        # recompute. persist+count gives the same count-once/reuse without
+        # either cost.
+        from pyspark.storagelevel import StorageLevel
+
+        persisted = edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         if edges.count() <= driver_threshold:
-            return _driver_components(edges, src, dst)
+            out = _driver_components(edges, src, dst)
+            persisted.unpersist()
+            return out
     try:
         from graphframes import GraphFrame  # type: ignore
         vertices = (edges.select(F.col(src).alias("id"))
                     .union(edges.select(F.col(dst).alias("id"))).distinct())
         g = GraphFrame(vertices, edges.selectExpr(f"{src} as src", f"{dst} as dst"))
-        cc = g.connectedComponents()
+        cc = g.connectedComponents()  # runs eagerly (internal checkpoints)
+        if persisted is not None:
+            persisted.unpersist()
         return cc.selectExpr("id as node", "component")
     except ImportError:
         pass
 
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    # localCheckpoint here is purely per-loop lineage truncation (sym is
+    # re-joined every round); once it is materialized the cached edge list
+    # is no longer needed
     sym = sym.distinct().localCheckpoint()
+    if persisted is not None:
+        persisted.unpersist()
     comp = (sym.select(F.col("u").alias("node")).distinct()
             .withColumn("component", F.col("node")))
     for _ in range(max_iter):

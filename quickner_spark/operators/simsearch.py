@@ -78,7 +78,7 @@ def cosine_topk(df: DataFrame, k: int = 5, probe_ids=None,
 
 def embedding_dup_pairs(df: DataFrame, threshold_pct: int = 95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        scale: int = 100) -> DataFrame:
+                        scale: int = 100, n_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, integer-exact.
 
     cos(a,b) >= t  <=>  dot > 0  AND  dot^2 * 100^2 >= t_pct^2 * |a|^2 |b|^2
@@ -87,64 +87,99 @@ def embedding_dup_pairs(df: DataFrame, threshold_pct: int = 95,
     inequality). ``scale=100`` keeps dot^2*10^4 within int64 for unit-norm
     64..1024-dim vectors.
 
-    Plan: broadcast the quantized matrix, partition-parallel BLAS block
-    matmul inside a pandas UDF (each task scores its rows against all
-    columns with id_b > id_a). float64 matmul is EXACT here (every product
-    and 64-term sum < 2^53), converted back to int64 before the predicate.
-    This replaces a 25M-row non-equi nested-loop join with ~N/parts GEMMs —
-    measured 26s -> ~2s at N=5000. At corpus scale the broadcast side is
-    chunked (or LSH-blocked first); the per-task math is unchanged.
+    Plan: distributed block nested-loop GEMM — NO driver collect or full
+    broadcast anywhere. Vectors are hash-assigned to ``n_blocks`` blocks;
+    every unordered block pair (bi <= bj) is one group, each vector is
+    replicated to the n_blocks pair-groups it belongs to (shuffle volume =
+    (n_blocks+1) x data, spread over n_blocks(n_blocks+1)/2 tasks), and
+    each group scores its two blocks with one BLAS matmul in
+    ``applyInPandas``. float64 matmul is EXACT here (every product and
+    64-term sum < 2^53), converted back to int64 before the predicate.
+    This replaces a 25M-row non-equi nested-loop join with B(B+1)/2 GEMMs.
+
+    The exact all-pairs work is O(N^2) whatever the plan — this operator is
+    the oracle-comparable baseline; at corpus scale use ``lsh_dup_pairs``,
+    which generates candidates from LSH buckets and verifies with the SAME
+    integer predicate (its rows are a subset of this operator's).
     """
     import numpy as np
+    import pandas as pd
 
-    spark = df.sparkSession
     q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
-    rows = q.collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    n2 = (mat * mat).sum(axis=1).astype(np.int64)
-    bc = spark.sparkContext.broadcast((ids, mat, n2))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    # one struct(bi, bj) per unordered block pair this vector participates
+    # in; array_distinct collapses (b, b) which appears once per other-block
+    pairs = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(F.least(blk, o).alias("bi"),
+                           F.greatest(blk, o).alias("bj")),
+    ))
+    expanded = (q.withColumn("blk", blk)
+                .withColumn("p", F.explode(pairs))
+                .select(F.col("p.bi"), F.col("p.bj"), id_col, "q", "blk"))
     t2 = threshold_pct * threshold_pct
 
-    def gen(batches):
-        import pandas as pd
+    def score_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["q"]), dtype=np.float64)
+        n2 = (mat * mat).sum(axis=1).astype(np.int64)
+        if bi == bj:
+            l_idx = r_idx = np.arange(len(ids))
+        else:
+            bcol = pdf["blk"].to_numpy()
+            l_idx = np.nonzero(bcol == bi)[0]
+            r_idx = np.nonzero(bcol == bj)[0]
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64),
+                                 "dot": np.array([], dtype=np.int64),
+                                 "n2_a": np.array([], dtype=np.int64),
+                                 "n2_b": np.array([], dtype=np.int64)})
+        L, R = mat[l_idx], mat[r_idx]
+        lids, rids = ids[l_idx], ids[r_idx]
+        ln2, rn2 = n2[l_idx], n2[r_idx]
+        dots = (L @ R.T).astype(np.int64)              # exact: < 2^53
+        mask = (
+            (lids[:, None] != rids[None, :])
+            & (dots > 0)
+            & (dots * dots * 10000 >= t2 * ln2[:, None] * rn2[None, :])
+        )
+        if bi == bj:
+            # diagonal block: both orientations are in the matrix — keep <
+            mask &= lids[:, None] < rids[None, :]
+        li, rj = np.nonzero(mask)
+        a_ids, b_ids = lids[li], rids[rj]
+        a_n2, b_n2 = ln2[li], rn2[rj]
+        # off-diagonal blocks see each unordered pair once, in arbitrary
+        # orientation — emit canonically as (min, max)
+        flip = a_ids > b_ids
+        a_ids, b_ids = np.where(flip, b_ids, a_ids), np.where(flip, a_ids, b_ids)
+        a_n2, b_n2 = np.where(flip, b_n2, a_n2), np.where(flip, a_n2, b_n2)
+        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids,
+                             "dot": dots[li, rj], "n2_a": a_n2, "n2_b": b_n2})
 
-        all_ids, M, all_n2 = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.array(list(pdf["q"]), dtype=np.float64)
-            dots = (A @ M.T).astype(np.int64)          # exact: < 2^53
-            a_n2 = (A * A).sum(axis=1).astype(np.int64)
-            # only pairs id_a < id_b; predicate in int64
-            mask = (
-                (a_ids[:, None] < all_ids[None, :])
-                & (dots > 0)
-                & (dots * dots * 10000 >= t2 * a_n2[:, None] * all_n2[None, :])
-            )
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame({
-                "id_a": a_ids[ai], "id_b": all_ids[bj],
-                "dot": dots[ai, bj],
-                "n2_a": a_n2[ai], "n2_b": all_n2[bj],
-            })
-
-    return q.mapInPandas(
-        gen, "id_a long, id_b long, dot long, n2_a long, n2_b long")
+    return expanded.groupBy("bi", "bj").applyInPandas(
+        score_pair, "id_a long, id_b long, dot long, n2_a long, n2_b long")
 
 
 def _assign_cells(v: DataFrame, cdf, id_col: str) -> DataFrame:
     """(id, v) x broadcast centroids -> (id, v, cid) by min L2 distance
-    (deterministic tie-break on cid)."""
+    (deterministic tie-break on cid).
+
+    argmin as ``min_by(cid, struct(dist2, cid))`` — one hash aggregate
+    whose partial (map-side) phase collapses the nlist candidate rows
+    before the exchange, so the shuffle carries ~1 row per vector. The
+    previous window form (partitionBy(id).orderBy(dist2)) shuffled all
+    N x nlist rows and sorted them."""
     dist2 = F.aggregate(F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
                         F.lit(0.0), lambda a, b: a + b)
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("cid"))
     return (v.crossJoin(cdf)
             .select(id_col, "v", "cid", dist2.alias("dist2"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(id_col, "v", "cid"))
+            .groupBy(id_col)
+            .agg(F.first("v").alias("v"),  # constant within the group
+                 F.min_by("cid", F.struct(F.col("dist2"), F.col("cid")))
+                 .alias("cid")))
 
 
 def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
@@ -213,6 +248,16 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
             .select("probe_id", "neighbor_id", "rank", "cosine"))
 
 
+def _infer_dim(df: DataFrame, vec_col: str):
+    """Vector dimensionality from the first row; None on an empty input
+    (``first()`` returns None there — callers short-circuit to an empty
+    result instead of raising)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
 def _lsh_signatures(v: DataFrame, dim: int, n_planes: int, n_tables: int,
                     seed: int, id_col: str) -> DataFrame:
     """(id, v) -> (id, tbl, sig): sign-LSH signatures per hash table.
@@ -254,7 +299,10 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
     capping exactly like the shingle doc_freq_cap."""
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col)
+    if dim is None:  # empty corpus -> empty pair set, same schema
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, dot long, n2_a long, n2_b long")
     sig = _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -297,7 +345,10 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     Signatures are computed relationally (posexplode dims -> broadcast join
     with a plane-weight table -> two aggregations) rather than as one giant
     per-row expression — constant-size plans for any dimensionality."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col)
+    if dim is None:  # empty corpus -> empty top-k, same schema
+        return df.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank int, cosine double")
     spark = df.sparkSession
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))

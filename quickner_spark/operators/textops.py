@@ -373,24 +373,32 @@ def repeated_blocks(df: DataFrame, block: int = 16, min_count: int = 2,
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens, JVM-side: per token compute
     xxhash64, then for each bit position sum +/-1 across tokens and take the
-    sign. Hamming-close simhashes ~ similar token multisets."""
-    tok = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("t"))
-    h = tok.select(id_col, F.xxhash64("t").alias("h"))
+    sign. Hamming-close simhashes ~ similar token multisets.
+
+    Computed entirely in-row (``aggregate`` over the token hashes with a
+    64-counter array accumulator, same shape as ``_minhash_sig``): ZERO
+    shuffles — the naive explode-to-(doc, token) + ``groupBy(doc)`` form
+    pushes one row per corpus token through an exchange, which at 100 TB is
+    the full tokenized corpus through a single shuffle. Row-identical to
+    that form (pinned by a differential test in tests/test_textops.py)."""
     one = F.lit(1).cast("long")
-    bit_cols = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
-              .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = h.groupBy(id_col).agg(*bit_cols)
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        # shiftleft keeps the arithmetic on the JVM (1<<63 overflows a
-        # Python-literal long in F.lit; as a JVM shift it wraps to the sign
-        # bit, which is fine for a fingerprint).
-        sim = sim + F.when(F.col(f"b{b}") > 0,
-                           F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-    return agg.select(id_col, sim.alias("simhash"))
+    zero = F.lit(0).cast("long")
+    # constant array of the 64 bit masks; shiftleft keeps the arithmetic on
+    # the JVM (1<<63 overflows a Python-literal long in F.lit; as a JVM
+    # shift it wraps to the sign bit, which is fine for a fingerprint).
+    masks = F.array(*[F.shiftleft(one, b) for b in range(64)])
+    bit_sums = F.aggregate(
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)),
+        F.array_repeat(zero, 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, one).otherwise(-one)),
+    )
+    sim = F.aggregate(
+        F.zip_with(bit_sums, masks,
+                   lambda s, m: F.when(s > 0, m).otherwise(zero)),
+        zero, lambda a, b: a + b)
+    return df.select(id_col, sim.alias("simhash"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
     "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
+    "conll_lines", "brat_lines",
 ]
 
 
@@ -62,6 +63,63 @@ def jsonl_lines(df: DataFrame) -> DataFrame:
         F.transform("label", lambda s: F.array(
             s["start"].cast("string"), s["end"].cast("string"), s["label"]))
         .alias("label"))).alias("value"))
+
+
+def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """K5 distributed path: one row per document whose ``value`` is the
+    document's whole CoNLL block (token\\tlabel lines; ``.write.text``
+    appends the final newline, yielding the blank separator line). Entirely
+    JVM-side higher-order functions — no Python in the hot path; scales to
+    any corpus size, unlike ``to_conll``'s driver-side single file.
+
+    Replicates the models.rs:123-165 heuristic exactly: whitespace tokens,
+    label goes to the FIRST token containing the span's surface as a
+    substring (later spans overwrite), all others "O".
+
+    ``keep_cols``: pass-through columns (e.g. a doc id) carried next to
+    ``value`` — useful for keyed comparisons or partitioned writes."""
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    d = df.select(*keep_cols, "text",
+                  F.coalesce("label", F.array()).alias("label"),
+                  words.alias("words"))
+    idx_arr = F.sequence(F.lit(1), F.size("words").cast("long"))
+
+    def apply_span(acc, sp):
+        surface = F.col("text").substr(sp["start"] + 1, sp["end"] - sp["start"])
+        hit = F.array_position(
+            F.transform(F.col("words"), lambda w: w.contains(surface)),
+            F.lit(True))
+        return F.zip_with(acc, idx_arr,
+                          lambda t, i: F.when(i == hit, sp["label"]).otherwise(t))
+
+    tags = F.aggregate(F.col("label"),
+                       F.transform(F.col("words"), lambda w: F.lit("O")),
+                       apply_span)
+    lines = F.concat_ws(
+        "\n", F.zip_with(F.col("words"), tags,
+                         lambda w, t: F.concat_ws("\t", w, t)))
+    value = F.when(F.size("words") == 0, F.lit("")) \
+        .otherwise(F.concat(lines, F.lit("\n")))
+    return d.select(*keep_cols, value.alias("value"))
+
+
+def brat_lines(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """K4 distributed path: ``(txt_lines, ann_lines)`` DataFrames for
+    ``.write.text`` (the ``{base}.txt`` texts and ``{base}.ann``
+    annotations). Same per-document counter reset as ``to_brat``
+    (models.rs:104-121); surface slicing is by chars (see ``to_brat``).
+    Documents with no spans contribute no .ann rows, matching the driver
+    writer. JVM-side throughout."""
+    txt = df.select(F.col("text").alias("value"))
+    spans = F.zip_with(
+        F.col("label"), F.sequence(F.lit(0), F.size("label") - 1),
+        lambda sp, i: F.concat_ws(
+            "\t", F.concat(F.lit("T"), i.cast("string")), sp["label"],
+            sp["start"].cast("string"), sp["end"].cast("string"),
+            F.col("text").substr(sp["start"] + 1, sp["end"] - sp["start"])))
+    ann = (df.where(F.size(F.coalesce("label", F.array())) > 0)
+           .select(F.concat_ws("\n", spans).alias("value")))
+    return txt, ann
 
 
 def to_jsonl(df: DataFrame, path: str) -> str:

@@ -4,7 +4,9 @@ from quickner_spark.streaming.annotate_stream import (
     streaming_dedup,
     stateful_session_counts,
 )
-from quickner_spark.streaming.kg_stream import incremental_kg, kg_batch_increment
+from quickner_spark.streaming.kg_stream import (
+    default_batch_writer, incremental_kg, kg_batch_increment)
 
 __all__ = ["annotate_stream", "windowed_label_counts", "streaming_dedup",
-           "stateful_session_counts", "incremental_kg", "kg_batch_increment"]
+           "stateful_session_counts", "incremental_kg", "kg_batch_increment",
+           "default_batch_writer"]

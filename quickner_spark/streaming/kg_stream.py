@@ -15,9 +15,18 @@ foreachBatch (not a pure streaming DAG) is the right tool here: triple
 extraction self-joins mentions within a micro-batch, which a continuous
 DAG disallows but per-batch batch-semantics permit — and each batch's
 join stays within the batch because triples never span documents, let
-alone crawl batches. Exactly-once appends come from the sink's atomic
-per-batch commit + checkpointed batch ids (Spark's foreachBatch contract;
-on Iceberg sinks, snapshot-per-batch).
+alone crawl batches.
+
+foreachBatch itself is only at-least-once (a failure mid-process() replays
+the batch), so end-to-end exactly-once requires the WRITER to be
+idempotent per (batch_id, path). The default writer is: it lands each
+batch in its own ``batch_id=N`` partition via dynamic partition overwrite,
+so a replay of batch N overwrites exactly its own rows instead of
+appending duplicates. Batch composition is deterministic across restarts
+(checkpointed source offsets), which makes the overwrite byte-equivalent
+to the lost write. A custom ``writer`` must uphold the same contract —
+e.g. Iceberg ``overwritePartitions()`` keyed on batch_id, or a
+transactional snapshot-per-batch append.
 
 Aggregate views (label histograms, windowed counts) should NOT be
 incrementalized by re-aggregating the tables per batch — use the
@@ -28,13 +37,24 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from quickner_spark.kg.extract import extract_stage
 from quickner_spark.kg.triples import pattern_triples
 from quickner_spark.operators.annotate import annotate_mentions, maximal_mentions
 
-__all__ = ["kg_batch_increment", "incremental_kg"]
+__all__ = ["kg_batch_increment", "incremental_kg", "default_batch_writer"]
+
+
+def default_batch_writer(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent parquet batch writer: each batch lands in its own
+    ``batch_id=N`` partition via dynamic partition overwrite, so replaying
+    a batch (foreachBatch is at-least-once) overwrites exactly its own
+    rows instead of appending duplicates."""
+    (df.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(path))
 
 
 def kg_batch_increment(pages: DataFrame, entities: Sequence[tuple[str, str]],
@@ -58,17 +78,20 @@ def incremental_kg(pages_stream: DataFrame,
                    checkpoint_dir: str,
                    case_sensitive: bool = False,
                    trigger_available_now: bool = True,
-                   writer: Callable[[DataFrame, str], None] | None = None):
+                   writer: Callable[[DataFrame, str, int], None] | None = None):
     """Start the incremental build; returns the StreamingQuery.
 
-    ``writer(df, path)`` defaults to an append parquet write — swap in an
-    Iceberg ``writeTo(...).append()`` by passing a writer. The checkpoint
-    dir gives restart-safe batch ids (a re-run resumes at the first
-    uncommitted crawl batch — the streaming counterpart of the batch
+    ``writer(df, path, batch_id)`` must be idempotent per (batch_id, path)
+    — see the module docstring. The default writes each batch into its own
+    ``batch_id=N`` parquet partition with dynamic partition overwrite
+    (replay-safe); output tables therefore carry a ``batch_id`` column
+    (drop it for batch-equivalence comparisons). Swap in an Iceberg
+    ``overwritePartitions()`` writer for a snapshot-per-batch table. The
+    checkpoint dir gives restart-safe batch ids (a re-run resumes at the
+    first uncommitted crawl batch — the streaming counterpart of the batch
     pipeline's stage-skip resumability)."""
     if writer is None:
-        def writer(df: DataFrame, path: str) -> None:
-            df.write.mode("append").parquet(path)
+        writer = default_batch_writer
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # localCheckpoint: extract and annotate run ONCE even though two
@@ -77,10 +100,10 @@ def incremental_kg(pages_stream: DataFrame,
         mentions = annotate_mentions(ext, entities, id_col="url",
                                      case_sensitive=case_sensitive
                                      ).localCheckpoint()
-        writer(mentions, mentions_path)
+        writer(mentions, mentions_path, batch_id)
         writer(pattern_triples(maximal_mentions(mentions, id_col="url"),
                                ext, predicates, id_col="url"),
-               triples_path)
+               triples_path, batch_id)
 
     w = (pages_stream.writeStream
          .foreachBatch(process)

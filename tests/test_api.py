@@ -115,3 +115,21 @@ def test_repr_histogram(quick):
     quick.process()
     r = repr(quick)
     assert "Entities: 10" in r and "Documents: 5" in r and "PL: 6" in r
+
+
+def test_pretty_highlights_spans():
+    # src/pydocument.rs:122-168 — color per label in first-seen order
+    # (red=31 first, green=32 second), spans walked sorted by start
+    d = Document("rust is made by mozilla",
+                 label=[(16, 23, "ORG"), (0, 4, "PL")])
+    p = d.pretty()
+    assert p == ("\x1b[32mrust\x1b[0m[PL] is made by "
+                 "\x1b[31mmozilla\x1b[0m[ORG]")
+
+
+def test_pretty_out_of_range_raises():
+    import pytest as _pytest
+
+    d = Document("short", label=[(0, 99, "X")])
+    with _pytest.raises(ValueError):
+        d.pretty()

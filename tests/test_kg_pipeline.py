@@ -99,6 +99,80 @@ def test_metrics_lineage_rows(pipe):
     assert total == pipe.table("mentions").count()
 
 
+def test_metrics_with_file_scheme_base(spark, pages_path, tmp_path):
+    """A file:// base must produce the same footer-derived metrics rows as
+    a bare path (the local glob branch previously saw the URI verbatim,
+    matched nothing, and silently wrote a zero-row metrics file)."""
+    base = f"file://{tmp_path}/kg_uri"
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    p = build_kg_pipeline(spark, base, pages_path, gaz, corpus.PREDICATES)
+    p.run()
+    m = p.metrics()
+    assert m.count() > 0
+    total = (m.where(F.col("stage") == "mentions")
+             .agg(F.sum("rows_out")).first()[0])
+    assert total == p.table("mentions").count()
+
+
+def test_catalog_mode_writer_selection(spark, monkeypatch):
+    """Catalog (Iceberg) mode routes through writeTo + tableExists instead
+    of parquet dirs + _SUCCESS. No Iceberg runtime ships in this container,
+    so the v2 writer is intercepted at the DataFrameWriterV2 boundary and
+    the selection logic itself is asserted; the parquet path is covered by
+    the end-to-end fixtures above."""
+    from quickner_spark.kg.pipeline import Pipeline, Stage
+
+    calls = []
+
+    class FakeWriterV2:
+        def __init__(self, ident):
+            self.ident = ident
+            self.parts = None
+
+        def partitionedBy(self, *cols):
+            self.parts = cols
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ident, self.parts))
+
+        def create(self):
+            calls.append(("create", self.ident, self.parts))
+
+        def append(self):
+            calls.append(("append", self.ident, self.parts))
+
+    df = spark.createDataFrame([(1, "a")], "k long, pred string")
+    # patch the CONCRETE classes: pyspark 4's classic DataFrame overrides
+    # the pyspark.sql.DataFrame base, and spark.read returns a fresh
+    # DataFrameReader per access
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, ident: FakeWriterV2(ident))
+    monkeypatch.setattr(type(spark.catalog), "tableExists",
+                        lambda self, ident: False)
+    # reads of upstream "tables" and metrics must go through read.table —
+    # return the stage df itself so run() can proceed
+    monkeypatch.setattr(type(spark.read), "table", lambda self, ident: df)
+
+    p = Pipeline(spark, "/ignored", [
+        Stage("stg", lambda s, ctx: df, partition_by=("pred",)),
+    ], catalog="ice.kg")
+    assert p.path("stg") == "ice.kg.stg"
+    status = p.run()
+    assert status == {"stg": "ran"}
+    kinds = [c[0] for c in calls]
+    assert kinds == ["createOrReplace", "create"]  # stage write + metrics
+    assert calls[0][1] == "ice.kg.stg"
+    assert [str(c) for c in calls[0][2]] == ["Column<'pred'>"]
+    assert calls[1][1] == "ice.kg.metrics"
+    # resumability: tableExists -> skip
+    monkeypatch.setattr(type(spark.catalog), "tableExists",
+                        lambda self, ident: True)
+    assert Pipeline(spark, "/ignored",
+                    [Stage("stg", lambda s, ctx: df)],
+                    catalog="ice.kg").run() == {"stg": "skipped"}
+
+
 def test_edges_weighted(pipe):
     edges = pipe.table("edges")
     assert set(edges.columns) == {"src", "dst", "pred", "weight"}

@@ -111,3 +111,39 @@ def test_lsh_dup_pairs_subset_and_recall(emb):
                   for r in ss.embedding_dup_pairs(emb, threshold_pct=40).collect()}
     for r in approx_rows:
         assert exact_rows[(r["id_a"], r["id_b"])] == (r["dot"], r["n2_a"], r["n2_b"])
+
+
+def test_embedding_dup_pairs_block_invariant(emb):
+    """The distributed block-pair GEMM must emit the identical pair set
+    for any block count (each unordered pair lands in exactly one
+    (bi, bj) group), including n_blocks=1 (single all-pairs GEMM)."""
+    base = sorted(map(tuple,
+                      ss.embedding_dup_pairs(emb, threshold_pct=40,
+                                             n_blocks=8).collect()))
+    for nb in (1, 3):
+        got = sorted(map(tuple,
+                         ss.embedding_dup_pairs(emb, threshold_pct=40,
+                                                n_blocks=nb).collect()))
+        assert got == base, nb
+    assert base, "fixture must produce pairs"
+    for t in base:
+        assert t[0] < t[1]  # canonical orientation
+
+
+def test_embedding_dup_pairs_no_driver_collect(emb):
+    """The exact near-dup operator must stay lazy — building the plan may
+    not run a job (the old implementation collected the full table to the
+    driver at plan-build time)."""
+    tracker = emb.sparkSession.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = ss.embedding_dup_pairs(emb, threshold_pct=40)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction triggered a job"
+    assert df.count() >= 0
+
+
+def test_lsh_ops_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ss.lsh_dup_pairs(empty).count() == 0
+    assert ss.lsh_topk(empty, probe_ids=[0]).count() == 0
+    assert ss.embedding_dup_pairs(empty).count() == 0

@@ -86,6 +86,59 @@ def test_conll_contains_heuristic(processed, tmp_path):
     assert ["sun", "O"] in third and ["microsystems,", "O"] not in third
 
 
+def test_conll_lines_matches_driver_writer(processed, tmp_path):
+    """The distributed CoNLL writer (conll_lines -> .write.text) must be
+    byte-identical to the driver single-file writer on the golden fixture
+    (reference quirks from models.rs:123-165 intact)."""
+    import glob
+
+    base = sk.to_conll(processed._annotated_df(), str(tmp_path / "drv.x"))
+    expected = open(base + ".txt").read()
+    out_dir = str(tmp_path / "dist_conll")
+    sk.conll_lines(processed._annotated_df()).coalesce(1) \
+        .write.mode("overwrite").text(out_dir)
+    part, = glob.glob(out_dir + "/part-*")
+    assert open(part).read() == expected
+
+
+def test_brat_lines_match_driver_writer(processed, tmp_path):
+    """Distributed brat writers vs the driver files: same .txt content and
+    the same .ann rows (per-document T-counter reset included)."""
+    import glob
+
+    base = sk.to_brat(processed._annotated_df(), str(tmp_path / "drvb.x"))
+    exp_txt = open(base + ".txt").read()
+    exp_ann = open(base + ".ann").read()
+    txt, ann = sk.brat_lines(processed._annotated_df())
+    tdir, adir = str(tmp_path / "bt"), str(tmp_path / "ba")
+    txt.coalesce(1).write.mode("overwrite").text(tdir)
+    ann.coalesce(1).write.mode("overwrite").text(adir)
+    tp, = glob.glob(tdir + "/part-*")
+    ap, = glob.glob(adir + "/part-*")
+    assert open(tp).read() == exp_txt
+    assert open(ap).read() == exp_ann
+
+
+def test_conll_lines_empty_and_unlabeled_docs(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("label", T.ArrayType(T.StructType([
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("label", T.StringType())]))),
+    ])
+    df = spark.createDataFrame(
+        [("a", "plain words here", None), ("b", "", [])], schema)
+    vals = [r["value"] for r in sk.conll_lines(df).collect()]
+    assert vals[0] == "plain\tO\nwords\tO\nhere\tO\n"
+    assert vals[1] == ""
+    txt, ann = sk.brat_lines(df)
+    assert txt.count() == 2 and ann.count() == 0
+
+
 def test_numpy_export(processed):
     arr = processed.numpy()
     assert arr.shape[0] == 5

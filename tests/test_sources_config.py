@@ -113,3 +113,26 @@ level = "debug"
     assert "@" in cfg.entities.filters._special
     assert cfg.entities.excludes.path == "excludes.csv"
     assert cfg.logging.level == "debug"
+
+
+def test_config_to_toml_write_back(tmp_path):
+    """Config write-back (reference PyConfig parity, src/pyconfig.rs):
+    mutate -> save -> reload reproduces the object tree exactly."""
+    import tomllib
+
+    cfg = Config()
+    cfg.annotations.format = Format.CONLL
+    cfg.annotations.output.path = "out.x"
+    cfg.entities.filters.special_characters = True
+    cfg.entities.filters.accept_special_characters = '.-"\\'
+    cfg.entities.excludes.path = "ex.csv"
+    cfg.logging.level = "debug"
+    # string round-trip
+    again = Config.from_dict(tomllib.loads(cfg.to_toml()))
+    assert again.to_dict() == cfg.to_dict()
+    assert again.annotations.format is Format.CONLL
+    assert again.entities.filters.accept_special_characters == '.-"\\'
+    # file round-trip
+    p = str(tmp_path / "cfg.toml")
+    cfg.to_toml(p)
+    assert Config.from_file(p).to_dict() == cfg.to_dict()

@@ -7,7 +7,8 @@ from __future__ import annotations
 import pytest
 
 from quickner_spark.kg import corpus
-from quickner_spark.streaming import incremental_kg, kg_batch_increment
+from quickner_spark.streaming import (default_batch_writer, incremental_kg,
+                                      kg_batch_increment)
 
 N_PER_BATCH = 60
 GAZ_SIZE = 120
@@ -39,9 +40,12 @@ def test_streaming_kg_equals_batch(spark, crawl_batches, tmp_path):
                        checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(180)
     bm, bt = kg_batch_increment(full, gaz, corpus.PREDICATES)
-    got_m = {tuple(r) for r in spark.read.parquet(mpath).collect()}
+    # the idempotent default writer adds a batch_id partition column
+    got_m = {tuple(r) for r in
+             spark.read.parquet(mpath).drop("batch_id").collect()}
     exp_m = {tuple(r) for r in bm.collect()}
-    got_t = {tuple(r) for r in spark.read.parquet(tpath).collect()}
+    got_t = {tuple(r) for r in
+             spark.read.parquet(tpath).drop("batch_id").collect()}
     exp_t = {tuple(r) for r in bt.collect()}
     assert got_m == exp_m and got_m
     assert got_t == exp_t and got_t
@@ -69,3 +73,19 @@ def test_streaming_kg_resumes_from_checkpoint(spark, crawl_batches, tmp_path):
                         checkpoint_dir=ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(mpath).count() == n_m
+
+
+def test_default_writer_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch through the default
+    writer must overwrite its own partition, not append duplicates — and
+    must leave other batches' rows untouched."""
+    path = str(tmp_path / "out")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    default_batch_writer(b0, path, 0)
+    default_batch_writer(b1, path, 1)
+    assert spark.read.parquet(path).count() == 3
+    default_batch_writer(b0, path, 0)  # replay of batch 0
+    got = sorted((r["k"], r["v"], r["batch_id"])
+                 for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]

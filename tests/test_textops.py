@@ -71,6 +71,34 @@ def test_simhash_similar_docs_close(docs):
     assert avg <= 8, avg  # near-dups should be hamming-close
 
 
+def test_simhash_matches_explode_groupby_reference(docs):
+    """Differential pin: the in-row aggregate form is row-identical to the
+    naive explode-to-(doc, token) + groupBy shape it replaced (the old
+    implementation, kept here as the reference)."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    one = F.lit(1).cast("long")
+    bit_cols = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_cols)
+    ref_sim = F.lit(0).cast("long")
+    for b in range(64):
+        ref_sim = ref_sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
+            .otherwise(F.lit(0).cast("long"))
+    ref = {r["doc_id"]: r["simhash"]
+           for r in agg.select("doc_id", ref_sim.alias("simhash")).collect()}
+    got = {r["doc_id"]: r["simhash"] for r in tx.simhash64(docs).collect()}
+    assert got == ref
+
+
+def test_simhash_plan_has_no_exchange(docs):
+    plan = tx.simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_fingerprint_shape(docs):
     fp = tx.fingerprint(docs).first()
     assert len(fp["fingerprint"]) >= 1
