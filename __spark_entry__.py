@@ -407,6 +407,28 @@ def q32_conll_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conll_lines(docs, keep_cols=("doc_id",))
 
 
+def q33_brat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 distributed brat .ann writer (sinks/formats.py::brat_lines,
+    models.rs:104-121): per-document ``T{i}\\t{label}\\t{start}\\t{end}\\t
+    {surface}`` lines with the counter resetting per document, spans
+    ordered (start, end, label). The oracle restates the numbering with a
+    window row_number — agreement proves the per-doc counter and the
+    char-offset surface slicing."""
+    from quickner_spark.sinks.formats import brat_lines
+
+    m = _mentions(spark, sf_dir)
+    lab = (m.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("start").cast("int").alias("start"),
+               F.col("end").cast("int").alias("end"),
+               F.col("label")))).alias("label")))
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.lower("text").alias("text"))
+            .join(lab, "doc_id", "left"))
+    _, ann = brat_lines(docs, keep_cols=("doc_id",))
+    return ann
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -446,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_inferred_gazetteer": q30_inferred_gazetteer,
         "q31_lsh_dup_pairs": q31_lsh_dup_pairs,
         "q32_conll_export": q32_conll_export,
+        "q33_brat_export": q33_brat_export,
     }
 
 
@@ -785,6 +808,20 @@ SELECT doc_id,
        string_agg(word || chr(9) || tag, chr(10) ORDER BY i) || chr(10)
          AS value
 FROM tags GROUP BY doc_id
+""",
+        "q33_brat_export": f"""
+WITH {cte},
+spans AS (
+  SELECT doc_id, "start", "end", label, surface,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY "start", "end", label) - 1 AS i
+  FROM mentions
+)
+SELECT doc_id,
+       string_agg('T' || i || chr(9) || label || chr(9) || "start"
+                  || chr(9) || "end" || chr(9) || surface,
+                  chr(10) ORDER BY i) AS value
+FROM spans GROUP BY doc_id
 """,
     }
 

@@ -103,14 +103,16 @@ def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     return d.select(*keep_cols, value.alias("value"))
 
 
-def brat_lines(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def brat_lines(df: DataFrame,
+               keep_cols: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
     """K4 distributed path: ``(txt_lines, ann_lines)`` DataFrames for
     ``.write.text`` (the ``{base}.txt`` texts and ``{base}.ann``
     annotations). Same per-document counter reset as ``to_brat``
     (models.rs:104-121); surface slicing is by chars (see ``to_brat``).
     Documents with no spans contribute no .ann rows, matching the driver
-    writer. JVM-side throughout."""
-    txt = df.select(F.col("text").alias("value"))
+    writer. JVM-side throughout. ``keep_cols``: pass-through columns
+    carried next to ``value`` in both outputs."""
+    txt = df.select(*keep_cols, F.col("text").alias("value"))
     spans = F.zip_with(
         F.col("label"), F.sequence(F.lit(0), F.size("label") - 1),
         lambda sp, i: F.concat_ws(
@@ -118,7 +120,7 @@ def brat_lines(df: DataFrame) -> tuple[DataFrame, DataFrame]:
             sp["start"].cast("string"), sp["end"].cast("string"),
             F.col("text").substr(sp["start"] + 1, sp["end"] - sp["start"])))
     ann = (df.where(F.size(F.coalesce("label", F.array())) > 0)
-           .select(F.concat_ws("\n", spans).alias("value")))
+           .select(*keep_cols, F.concat_ws("\n", spans).alias("value")))
     return txt, ann
 
 
