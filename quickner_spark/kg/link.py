@@ -45,54 +45,78 @@ def link_mentions(mentions: DataFrame, documents: DataFrame,
     """mentions + documents + aliases -> linked mentions
     (doc_id, start, end, surface, canonical_id, label, score).
 
-    Candidates joined by lowercased surface (broadcast); context overlap =
-    |doc tokens ∩ canonical-name tokens|; winner = max_by(score, candidate).
+    Candidates looked up by lowercased surface in a broadcast per-alias
+    candidate bundle; context overlap = |doc tokens ∩ canonical-name
+    tokens|; winner = in-row argmax by (score, canonical_id).
+
+    Scale shape — ONE data shuffle total (identical output to the naive
+    per-mention plan, pinned by the differential test and the q27 oracle):
+
+    1. Each document reduces IN-ROW to its distinct profile-vocabulary
+       hits (``array_intersect`` against the literal vocabulary — the
+       alias table is broadcast-sized by contract, so its token
+       vocabulary is a plan literal). No token explode, no doc-token
+       shuffle.
+    2. Mentions join that narrow (doc, doc_toks) table on the doc key —
+       the single shuffle, uniformly keyed by document, immune to
+       head-entity skew by construction.
+    3. The per-alias candidate bundle (canonical, label, prior, profile
+       tokens) is a broadcast hash join; score and argmax run in-row via
+       ``aggregate`` over the bundle. No per-(doc, alias) distinct, no
+       overlap groupBy, no argmax groupBy, no join-back — the previous
+       formulation's five multi-million-row string-keyed shuffles
+       (measured 3.6-8.2M rows each at 80k docs) are gone.
     """
-    # Scale shape (identical output to the naive per-mention plan):
-    # 1. score(mention, cand) depends only on (doc, surface) — never on
-    #    span position — so the argmax runs over DISTINCT (doc, alias)
-    #    pairs (<= docs x surfaces-per-doc, tiny vs mention count) and the
-    #    winners join back to mentions. No wide-key aggregate over the
-    #    full mention table.
-    # 2. Context overlap never shuffles token arrays: docs reduce to their
-    #    distinct profile-vocabulary hits (broadcast semi-join filter),
-    #    and overlap is counted only for (doc, candidate) pairs actually
-    #    triggered by a mention in that doc — computing it for every
-    #    canonical sharing a token explodes on head tokens ("inc", "co").
+    # per-alias candidate bundles with profile token sets — broadcast-sized
+    cand_toks = F.array_distinct(F.split(
+        F.replace(F.col("canonical_id"), F.lit("_"), F.lit(" ")), " "))
+    cand_tbl = (alias_table
+                .withColumn("__toks", cand_toks)
+                .groupBy("alias")
+                .agg(F.collect_list(F.struct("canonical_id", "label",
+                                             "prior", "__toks"))
+                     .alias("__cands")))
+    # distinct profile vocabulary as one literal array (driver-side, tiny —
+    # same broadcastability contract as F.broadcast(alias_table))
+    vocab = sorted({t
+                    for r in alias_table.select("canonical_id")
+                    .distinct().collect()
+                    for t in r[0].replace("_", " ").split(" ")})
+    doc_toks = documents.select(
+        F.col(id_col),
+        F.array_intersect(F.split(F.lower(F.col(text_col)), " "),
+                          F.lit(vocab)).alias("__doc_toks"))
     # project the mention's own label away: the output label is the linked
     # candidate's (alias table), and both sides naming it is ambiguous.
     m = mentions.select(id_col, "start", "end", "surface",
                         F.lower("surface").alias("__alias"))
-    da = m.select(id_col, "__alias").distinct()
-    cands = da.join(F.broadcast(alias_table),
-                    da["__alias"] == alias_table["alias"])
-    prof = (alias_table.select("canonical_id").distinct()
-            .select("canonical_id",
-                    F.explode(F.split(F.replace(F.col("canonical_id"),
-                                                F.lit("_"), F.lit(" ")),
-                                      " ")).alias("__tok"))
-            .distinct())
-    vocab = prof.select("__tok").distinct()
-    doc_hits = (documents.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"))
-        .join(F.broadcast(vocab), "__tok", "left_semi")  # narrow pre-filter
-        .distinct())
-    pairs = (cands.select(id_col, "canonical_id").distinct()
-             .join(F.broadcast(prof), "canonical_id"))
-    overlap = (pairs.join(doc_hits, [id_col, "__tok"])
-               .groupBy(id_col, "canonical_id")
-               .agg(F.count("*").alias("__ov")))
-    scored = (cands.join(overlap, [id_col, "canonical_id"], "left")
-              .withColumn("__score", F.log1p(F.col("prior"))
-                          + F.coalesce(F.col("__ov"), F.lit(0))))
-    best = (scored.groupBy(id_col, "__alias")
-            .agg(F.max_by(
-                F.struct(F.col("canonical_id"), F.col("label"),
-                         F.col("__score").alias("score")),
-                F.struct(F.col("__score"), F.col("canonical_id"))).alias("b"))
-            .select(id_col, "__alias",
-                    "b.canonical_id", "b.label", "b.score"))
-    return (m.join(best, [id_col, "__alias"])
+    # the one data shuffle. Pinned to a sort-merge join: compressed parquet
+    # stats under-estimate the mention table (25 MB on disk -> 5.7M-row
+    # hashed relation), and Spark would otherwise BROADCAST MENTIONS — a
+    # serial driver collect+hash that dwarfs the join itself and cannot
+    # scale with cores. SMJ on the doc key is what a 100 TB run would pick
+    # anyway; forcing it locally keeps the stage's scaling honest.
+    withdocs = m.join(doc_toks.hint("merge"), id_col)
+    j = withdocs.join(F.broadcast(cand_tbl),
+                      withdocs["__alias"] == cand_tbl["alias"])
+
+    def score(c):
+        return F.log1p(c["prior"]) + F.size(
+            F.array_intersect(F.col("__doc_toks"), c["__toks"]))
+
+    # in-row argmax replicating max_by(struct(canonical, label, score),
+    # struct(score, canonical)) — max score, ties to max canonical_id.
+    # array_max over (score, canonical, label) structs is lexicographic on
+    # exactly that ordering, and evaluates score ONCE per candidate (a
+    # fold with the comparison inside a when() would re-evaluate the
+    # intersection per branch — measured 2-3x the compute).
+    best = F.array_max(F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(score(c).cast("double").alias("score"),
+                           c["canonical_id"].alias("canonical_id"),
+                           c["label"].alias("label"))))
+    return (j.withColumn("__b", best)
             .select(id_col, "start", "end", "surface",
-                    "canonical_id", "label", "score"))
+                    F.col("__b.canonical_id").alias("canonical_id"),
+                    F.col("__b.label").alias("label"),
+                    F.col("__b.score").alias("score")))

@@ -60,10 +60,15 @@ def pattern_triples(
     # mention); the expensive mention-mention match is then an EQUI-join on
     # (doc, exact expected object offset) — no per-document mention² cross
     # product with a post-filter, so fan-out is only actual positional hits.
+    # Both the mention-mention equi-join and the documents join are pinned
+    # to sort-merge: every side is corpus-sized, but compressed-parquet
+    # stats under-estimate them and Spark would otherwise broadcast the
+    # full mention/document table (serial driver collect+hash — measured
+    # as the stage's dominant, non-scaling cost; OOM at corpus scale).
     m1p = (m1.crossJoin(pred_df)
            .withColumn("obj_start", F.col("subj_end") + 2 + F.col("plen")))
-    out = (m1p.join(m2, ["__id", "obj_start"])
-           .join(docs, "__id")
+    out = (m1p.join(m2.hint("merge"), ["__id", "obj_start"])
+           .join(docs.hint("merge"), "__id")
            .where((F.expr("substring(__text, subj_end + 2, plen)") == F.col("pred"))
                   & (F.expr("substring(__text, subj_end + 1, 1)") == F.lit(" "))
                   & (F.expr("substring(__text, subj_end + plen + 2, 1)") == F.lit(" ")))

@@ -169,9 +169,16 @@ def maximal_mentions(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Anti-join keyed on the doc id (equi key) with a containment range
     condition; mentions-per-doc is small so the per-key fanout is bounded.
+
+    Pinned to a sort-merge join: both sides are the corpus-sized mention
+    table, but compressed-parquet stats under-estimate it (25 MB on disk
+    -> 5.7M-row hashed relation at 80k docs) and Spark would otherwise
+    broadcast one side — a serial driver collect+hash that cannot scale
+    with cores and OOMs at corpus scale. SMJ on the doc key is the 100 TB
+    plan; forcing it locally keeps the stage's scaling honest.
     """
     a = mentions.alias("a")
-    b = mentions.alias("b")
+    b = mentions.hint("merge").alias("b")
     cond = (
         (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
         & (F.col("b.start") <= F.col("a.start"))
