@@ -127,9 +127,56 @@ def test_annotate_over_pages_never_reads_html(spark, tmp_path):
 def test_link_scores_plan_broadcasts_and_no_cartesian(spark):
     df = E.q27_link_scores(spark, SF)
     plan = _executed(df)
-    assert "BroadcastHashJoin" in plan          # alias table + vocab sides
+    assert "BroadcastHashJoin" in plan          # per-alias candidate bundle
     assert "CartesianProduct" not in plan
-    assert "hashpartitioning" in plan           # the (doc, alias) argmax agg
+    assert "hashpartitioning" in plan           # the doc-keyed merge join
+
+
+def test_corpus_sized_joins_never_broadcast_from_parquet(spark, tmp_path):
+    """Regression guard for the compressed-parquet under-estimate trap:
+    a committed mention table looks like ~tens of MB on disk, lands under
+    the broadcast threshold, and Spark would broadcast the corpus-sized
+    side of the maximal-mention anti-join, the triple joins, and the link
+    doc-join — a serial driver collect+hash that cannot scale and OOMs at
+    corpus scale. These operators pin sort-merge; assert the pin holds
+    when inputs come from parquet (the pipeline's stats regime)."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+    from quickner_spark.kg.triples import pattern_triples
+    from quickner_spark.operators.annotate import (annotate_mentions,
+                                                   maximal_mentions,
+                                                   normalize_gazetteer)
+
+    pages = corpus.synth_pages(spark, 60, partitions=2)
+    gaz = normalize_gazetteer(corpus.synth_gazetteer(50, 1),
+                              case_sensitive=False)
+    ext_p, m_p = str(tmp_path / "ext"), str(tmp_path / "men")
+    pages.select("url", "text").write.parquet(ext_p)
+    annotate_mentions(pages.select("url", "text"), gaz,
+                      id_col="url").write.parquet(m_p)
+    ext = spark.read.parquet(ext_p)
+    mentions = spark.read.parquet(m_p)
+
+    mm = maximal_mentions(mentions, id_col="url")
+    plan = _executed(mm)
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+
+    tr = pattern_triples(mm, ext, corpus.PREDICATES, id_col="url")
+    plan = _executed(tr)
+    # the two corpus-sized joins (mention-mention, docs) are merge joins;
+    # only the tiny predicate fan-out may broadcast
+    assert plan.count("SortMergeJoin") >= 2, plan
+
+    al = alias_table_from_gazetteer(spark, gaz)
+    lk = link_mentions(mentions, ext, al, id_col="url")
+    plan = _executed(lk)
+    assert "SortMergeJoin" in plan, plan
+    # mentions/documents must never be a broadcast build side here: the
+    # only BroadcastHashJoin allowed is the per-alias candidate bundle
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastExchange" in line:
+            ctx = "\n".join(plan.splitlines()[i:i + 8])
+            assert "FileScan" not in ctx, ctx
 
 
 def test_kg_edges_plan_broadcasts_maps(spark):
