@@ -429,6 +429,15 @@ def q33_brat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann
 
 
+def q34_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup DECISION step (textops.dup_clusters): exact trigram-Jaccard
+    near-dup pairs -> connected components -> (doc_id, cluster_id, keep)
+    for EVERY document (singletons keep themselves). Deterministic and
+    hash-independent; the oracle closes the pair graph with a recursive
+    CTE and left-joins back to documents."""
+    return tx.dup_clusters(_docs(spark, sf_dir), n=3, threshold_pct=80)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -469,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_lsh_dup_pairs": q31_lsh_dup_pairs,
         "q32_conll_export": q32_conll_export,
         "q33_brat_export": q33_brat_export,
+        "q34_dup_clusters": q34_dup_clusters,
     }
 
 
@@ -822,6 +832,40 @@ SELECT doc_id,
                   || chr(9) || "end" || chr(9) || surface,
                   chr(10) ORDER BY i) AS value
 FROM spans GROUP BY doc_id
+""",
+        "q34_dup_clusters": """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS shingle
+  FROM w, LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) t
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE 100 * shared >= 80 * (ca.n_sh + cb.n_sh - shared)
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+reach(node, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) s
+  UNION
+  SELECT s.v, r.anc FROM reach r JOIN sym s ON r.node = s.u
+),
+comp AS (SELECT node, min(anc) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """,
     }
 

@@ -25,6 +25,7 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "jaccard_pairs_prefix",
+    "dup_clusters",
     "minhash_signatures",
     "minhash_dedup",
     "repeated_blocks",
@@ -242,6 +243,34 @@ def jaccard_pairs_prefix(df: DataFrame, n: int = 3, threshold_pct: int = 80,
                    >= F.lit(threshold_pct)
                    * (F.col("n_a") + F.col("n_b") - F.col("shared")))
             .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+
+
+def dup_clusters(df: DataFrame, n: int = 3, threshold_pct: int = 80,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the dedup decision step of a
+    training-data pipeline: pairwise near-dups are not enough, because
+    A~B and B~C must drop two of {A, B, C}, not one per pair.
+
+    exact prefix-filtered Jaccard pairs (:func:`jaccard_pairs_prefix`)
+    -> undirected connected components -> every document mapped to
+    ``(doc_id, cluster_id, keep)`` where ``cluster_id`` = min doc id in
+    its duplicate cluster and ``keep`` marks the representative.
+    Documents with no near-dup partner form singleton clusters
+    (keep = true). Deterministic and hash-independent, so oracle-exact
+    (q34: recursive-CTE transitive closure). At corpus scale swap the
+    exact pair generator for ``minhash_dedup`` — the clustering step is
+    unchanged."""
+    from quickner_spark.operators.graph import connected_components
+
+    pairs = jaccard_pairs_prefix(df, n=n, threshold_pct=threshold_pct,
+                                 text_col=text_col, id_col=id_col)
+    cc = connected_components(pairs.select("doc_a", "doc_b"),
+                              "doc_a", "doc_b")
+    docs = df.select(F.col(id_col))
+    cluster = F.coalesce("component", F.col(id_col))
+    return (docs.join(cc.withColumnRenamed("node", id_col), id_col, "left")
+            .select(F.col(id_col), cluster.alias("cluster_id"),
+                    (cluster == F.col(id_col)).alias("keep")))
 
 
 def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text",

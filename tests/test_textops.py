@@ -104,6 +104,27 @@ def test_fingerprint_shape(docs):
     assert len(fp["fingerprint"]) >= 1
 
 
+def test_dup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C must land in ONE cluster (transitive closure, not
+    pairwise), keep marks exactly the min-id representative, and docs with
+    no near-dup partner are singleton keepers."""
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base),                              # A
+        (2, base + " extra"),                   # B ~ A
+        (3, base + " extra more"),              # C ~ B (and A)
+        (9, " ".join(f"z{i}" for i in range(30))),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in tx.dup_clusters(df, n=3, threshold_pct=80).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)
+    assert len(got) == 4
+
+
 def test_repeated_blocks_detects_planted_template(spark):
     base = "tok%d " * 16
     boiler = " ".join(f"b{i}" for i in range(16))
