@@ -132,6 +132,42 @@ def test_link_scores_plan_broadcasts_and_no_cartesian(spark):
     assert "hashpartitioning" in plan           # the doc-keyed merge join
 
 
+def test_bucketed_mention_join_has_no_exchange(spark):
+    """Co-located join via bucketing: mentions and texts written bucketed
+    on the doc key with equal bucket counts must join with NO Exchange
+    (the write-time shuffle replaces every downstream join shuffle)."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.operators.annotate import (annotate_mentions,
+                                                   normalize_gazetteer)
+    from quickner_spark.operators.bucketing import read_table, write_bucketed
+
+    pages = corpus.synth_pages(spark, 40, partitions=2).select("url", "text")
+    gaz = normalize_gazetteer(corpus.synth_gazetteer(30, 2),
+                              case_sensitive=False)
+    write_bucketed(pages, "bk_texts", "url", 4)
+    write_bucketed(annotate_mentions(pages, gaz, id_col="url"),
+                   "bk_mentions", "url", 4)
+    # the fixture tables are tiny, so AQE would broadcast and hide the
+    # property under test (at scale neither side is broadcastable)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "bk_mentions").join(
+            read_table(spark, "bk_texts"), "url")
+        plan = _executed(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # negative control: the same join from plain parquet dirs shuffles
+        # or broadcasts — bucketing is what removed the Exchange
+        j2 = read_table(spark, "bk_mentions").hint("merge").join(
+            spark.createDataFrame(pages.collect(), pages.schema), "url")
+        assert "Exchange" in _executed(j2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_texts")
+        spark.sql("DROP TABLE IF EXISTS bk_mentions")
+
+
 def test_corpus_sized_joins_never_broadcast_from_parquet(spark, tmp_path):
     """Regression guard for the compressed-parquet under-estimate trap:
     a committed mention table looks like ~tens of MB on disk, lands under
