@@ -47,34 +47,55 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 class Pipeline:
-    """``catalog=None`` (default): stage outputs are parquet directories
-    under ``base_dir`` with ``_SUCCESS`` commit markers. ``catalog`` set to
-    an Iceberg namespace (e.g. ``"iceberg.kg"``): outputs become catalog
-    tables written with ``writeTo(...).partitionedBy(...).createOrReplace()``
-    and resumability checks ``tableExists`` — same driver logic, swapped
-    storage commands (this container ships no Iceberg runtime; the catalog
-    path is unit-tested via writer-selection tests, runtime-gated)."""
+    """Three storage modes, same driver logic:
+
+    * ``catalog=None, bucket=None`` (default): stage outputs are parquet
+      directories under ``base_dir`` with ``_SUCCESS`` commit markers.
+    * ``catalog="iceberg.kg"``: outputs become Iceberg catalog tables
+      written with ``writeTo(...).partitionedBy(...).createOrReplace()``
+      and resumability checks ``tableExists`` (this container ships no
+      Iceberg runtime; the path is unit-tested via writer-selection
+      tests, runtime-gated).
+    * ``bucket=("url", N)``: outputs become session-catalog EXTERNAL
+      tables (data still under ``base_dir``) bucketed + bucket-sorted on
+      the key wherever the stage output carries it. Downstream doc-keyed
+      joins (maximal mentions, triples, link) then run with NO exchange —
+      hash-partitioning on ``url`` satisfies the (url, offset) clustered
+      distribution too, so the write-time shuffle replaces every join
+      shuffle. Resumability is metastore-scoped: the in-memory session
+      catalog forgets tables across sessions (data survives on disk);
+      with a persistent metastore the skip works across runs exactly like
+      the parquet mode."""
 
     def __init__(self, spark: SparkSession, base_dir: str, stages: list[Stage],
-                 catalog: str | None = None):
+                 catalog: str | None = None,
+                 bucket: tuple[str, int] | None = None,
+                 table_prefix: str = "kg"):
         self.spark = spark
         self.base = base_dir.rstrip("/")
         self.stages = stages
         self.catalog = catalog
+        self.bucket = bucket
+        self.table_prefix = table_prefix
         self.run_id = uuid.uuid4().hex[:12]
 
     def path(self, stage_name: str) -> str:
         if self.catalog:
             return f"{self.catalog}.{stage_name}"
+        if self.bucket:
+            return f"{self.table_prefix}_{stage_name}"
+        return f"{self.base}/{stage_name}"
+
+    def _data_path(self, stage_name: str) -> str:
         return f"{self.base}/{stage_name}"
 
     def table(self, stage_name: str) -> DataFrame:
-        if self.catalog:
+        if self.catalog or self.bucket:
             return self.spark.read.table(self.path(stage_name))
         return self.spark.read.parquet(self.path(stage_name))
 
     def _stage_exists(self, out: str) -> bool:
-        if self.catalog:
+        if self.catalog or self.bucket:
             return self.spark.catalog.tableExists(out)
         return _exists(self.spark, out)
 
@@ -88,6 +109,21 @@ class Pipeline:
             if stage.partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in stage.partition_by])
             w.createOrReplace()
+            return
+        if self.bucket:
+            key, n = self.bucket
+            w = (df.write.mode("overwrite")
+                 .option("path", self._data_path(stage.name)))
+            if key in df.columns:
+                # bucket on the join key; skip the label/pred partitioning
+                # — combining both multiplies files AND adds a per-task
+                # sort over (partition, bucket), which doubled the mention
+                # write. Low-cardinality column pruning still comes from
+                # parquet row-group predicate pushdown.
+                w = w.bucketBy(n, key).sortBy(key)
+            elif stage.partition_by:
+                w = w.partitionBy(*stage.partition_by)
+            w.saveAsTable(out)
             return
         writer = df.write.mode("overwrite")
         if stage.partition_by:
@@ -169,7 +205,10 @@ class Pipeline:
             df = stage.fn(self.spark, ctx)
             self._write_stage(df, stage, out)
             wall_ms = int((time.time() - t0) * 1000)
-            self._write_metrics(stage.name, out, wall_ms)
+            self._write_metrics(
+                stage.name,
+                self._data_path(stage.name) if self.bucket else out,
+                wall_ms)
             status[stage.name] = "ran"
         return status
 
@@ -182,10 +221,13 @@ class Pipeline:
 def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       pages_path: str, gazetteer: list[tuple[str, str]],
                       predicates: tuple[str, ...],
-                      catalog: str | None = None) -> Pipeline:
+                      catalog: str | None = None,
+                      bucket: tuple[str, int] | None = None,
+                      table_prefix: str = "kg") -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
-    directories (see ``Pipeline``)."""
+    directories; ``bucket=("url", N)``: bucketed session-catalog tables
+    for exchange-free downstream doc-keyed joins (see ``Pipeline``)."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -259,4 +301,4 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         Stage("aliases", s_aliases),
         Stage("nodes", s_nodes),
         Stage("edges", s_edges, partition_by=("pred",)),
-    ], catalog=catalog)
+    ], catalog=catalog, bucket=bucket, table_prefix=table_prefix)

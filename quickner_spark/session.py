@@ -32,6 +32,12 @@ def get_spark(app_name: str = "quickner-spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow a doc-key-bucketed table to co-partition a join on
+        # (doc_key, extra_col) without re-shuffling: the engine's composite
+        # joins always subset-key on the high-cardinality doc id, so the
+        # skew concern behind Spark's stricter default does not apply —
+        # and bucketed stage outputs then join with zero exchanges
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -28,6 +28,7 @@ N_DOCS = int(os.environ.get("PIPE_DOCS", "80000"))
 SENTS = int(os.environ.get("PIPE_SENTS", "12"))
 INTERLEAVES = int(os.environ.get("PIPE_INTERLEAVES", "2"))
 BASE = os.environ.get("PIPE_BASE", "/tmp/quickner_pipe_scaling")
+BUCKET = os.environ.get("PIPE_BUCKET", "") == "1"
 ZIP = "/tmp/quickner_spark.zip"
 
 
@@ -63,6 +64,8 @@ def _submit(cores: int, out_dir: str) -> dict:
         "--pages", os.path.join(BASE, "pages"),
         "--out", out_dir, "--cores", str(cores),
     ]
+    if BUCKET:
+        cmd += ["--bucket", str(cores * 2)]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
                          env={**os.environ, "PYTHONPATH": REPO})
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -102,7 +105,7 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
         fh.write(
-            f"| FULL PIPELINE (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
+            f"| FULL PIPELINE{' BUCKETED' if BUCKET else ''} (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
             f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s) "
             f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s) "
             f"| speedup {result['speedup']}x "

@@ -44,6 +44,10 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage even if committed")
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="bucket count for url-bucketed catalog-table "
+                         "stage outputs (0 = plain parquet dirs); "
+                         "downstream doc-keyed joins run exchange-free")
     args = ap.parse_args()
 
     spark = get_spark("quickner-kg-pipeline", cores=args.cores)
@@ -58,8 +62,9 @@ def main() -> None:
                 .write.mode("overwrite").parquet(pages_path)
 
     gaz = corpus.synth_gazetteer(args.gazetteer_size, args.seed)
+    bucket = ("url", args.bucket) if args.bucket else None
     pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
-                             corpus.PREDICATES)
+                             corpus.PREDICATES, bucket=bucket)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0

@@ -173,6 +173,50 @@ def test_catalog_mode_writer_selection(spark, monkeypatch):
                     catalog="ice.kg").run() == {"stg": "skipped"}
 
 
+def test_bucketed_pipeline_equivalent_and_exchange_free(spark, pages_path,
+                                                        pipe, tmp_path):
+    """bucket=("url", N) mode: stage outputs become url-bucketed catalog
+    tables; results are identical to the parquet pipeline, and the
+    maximal-mentions + triples plan built from the bucketed tables runs
+    with ZERO hash-partitioning exchanges (the write-time shuffle replaces
+    every downstream doc-keyed join shuffle)."""
+    from quickner_spark.kg.triples import pattern_triples
+    from quickner_spark.operators.annotate import maximal_mentions
+
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    p2 = build_kg_pipeline(spark, str(tmp_path / "bkt"), pages_path, gaz,
+                           corpus.PREDICATES, bucket=("url", 4),
+                           table_prefix="tbkt")
+    # engine sessions (quickner_spark.session.get_spark) set this; the
+    # bare test session does not — it lets a url-bucketed side satisfy a
+    # (url, offset) join without re-shuffling
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        p2.run()
+        for st in ("mentions", "triples", "edges"):
+            # partitioned parquet read-back moves partition columns to the
+            # end; bucketed tables keep write order — compare canonically
+            cols = sorted(pipe.table(st).columns)
+            a = {tuple(r) for r in pipe.table(st).select(*cols).collect()}
+            b = {tuple(r) for r in p2.table(st).select(*cols).collect()}
+            assert a == b, st
+        mm = maximal_mentions(p2.table("mentions"), id_col="url")
+        tr = pattern_triples(mm, p2.table("extract"), corpus.PREDICATES,
+                             id_col="url")
+        tr.collect()
+        plan = tr._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "Bucketed: true" in plan
+        # metrics still flow through the parquet-footer path
+        assert p2.metrics().count() > 0
+    finally:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                       "true")
+        for st in ("extract", "mentions", "linked", "triples", "aliases",
+                   "nodes", "edges"):
+            spark.sql(f"DROP TABLE IF EXISTS tbkt_{st}")
+
+
 def test_edges_weighted(pipe):
     edges = pipe.table("edges")
     assert set(edges.columns) == {"src", "dst", "pred", "weight"}
