@@ -62,10 +62,12 @@ class Pipeline:
       joins (maximal mentions, triples, link) then run with NO exchange —
       hash-partitioning on ``url`` satisfies the (url, offset) clustered
       distribution too, so the write-time shuffle replaces every join
-      shuffle. Resumability is metastore-scoped: the in-memory session
-      catalog forgets tables across sessions (data survives on disk);
-      with a persistent metastore the skip works across runs exactly like
-      the parquet mode."""
+      shuffle. Resumable across sessions even with the default in-memory
+      metastore: when the catalog entry is gone but the committed data
+      (``_SUCCESS``) survives under ``base_dir``, the stage check
+      re-registers the external table over it with the same bucket spec
+      — the caller must pass the same ``bucket`` N the data was written
+      with (same contract as any persistent metastore)."""
 
     def __init__(self, spark: SparkSession, base_dir: str, stages: list[Stage],
                  catalog: str | None = None,
@@ -90,14 +92,56 @@ class Pipeline:
         return f"{self.base}/{stage_name}"
 
     def table(self, stage_name: str) -> DataFrame:
-        if self.catalog or self.bucket:
+        if self.catalog:
+            return self.spark.read.table(self.path(stage_name))
+        if self.bucket:
+            # a fresh session's in-memory catalog has forgotten the table;
+            # re-attach it over the surviving committed data first
+            if not self.spark.catalog.tableExists(self.path(stage_name)):
+                stage = next(s for s in self.stages if s.name == stage_name)
+                if _exists(self.spark, self._data_path(stage_name)):
+                    self._register_bucketed(stage)
             return self.spark.read.table(self.path(stage_name))
         return self.spark.read.parquet(self.path(stage_name))
 
-    def _stage_exists(self, out: str) -> bool:
-        if self.catalog or self.bucket:
+    def _stage_exists(self, stage: Stage) -> bool:
+        out = self.path(stage.name)
+        if self.catalog:
             return self.spark.catalog.tableExists(out)
+        if self.bucket:
+            if self.spark.catalog.tableExists(out):
+                return True
+            if _exists(self.spark, self._data_path(stage.name)):
+                self._register_bucketed(stage)
+                return True
+            return False
         return _exists(self.spark, out)
+
+    def _register_bucketed(self, stage: Stage) -> None:
+        """Re-attach a committed bucketed stage output as an external
+        catalog table (new session, default in-memory metastore: the
+        metadata is gone, the data is not). The bucket spec must match
+        the one the data was written with — Spark derives bucket ids
+        from the writer's file-name suffixes, so registering a different
+        N would silently break the exchange-free join guarantee."""
+        key, n = self.bucket
+        data = self._data_path(stage.name)
+        tbl = self.path(stage.name)
+        schema = self.spark.read.parquet(data).schema
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        if key in schema.fieldNames():
+            spec = f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n} BUCKETS"
+            self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET {spec} "
+                           f"LOCATION '{data}'")
+        elif stage.partition_by:
+            cols = ", ".join(f"`{c}`" for c in stage.partition_by)
+            self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                           f"PARTITIONED BY ({cols}) LOCATION '{data}'")
+            self.spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        else:
+            self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                           f"LOCATION '{data}'")
 
     def _write_stage(self, df: DataFrame, stage: Stage, out: str) -> None:
         """Writer selection: Iceberg v2 ``writeTo`` when a catalog is
@@ -198,7 +242,7 @@ class Pipeline:
         status: dict[str, str] = {}
         for stage in self.stages:
             out = self.path(stage.name)
-            if not force and self._stage_exists(out):
+            if not force and self._stage_exists(stage):
                 status[stage.name] = "skipped"
                 continue
             t0 = time.time()

@@ -209,6 +209,28 @@ def test_bucketed_pipeline_equivalent_and_exchange_free(spark, pages_path,
         assert "Bucketed: true" in plan
         # metrics still flow through the parquet-footer path
         assert p2.metrics().count() > 0
+
+        # fresh-session resume: the in-memory metastore forgets the
+        # tables (simulated by dropping them); a rebuilt pipeline must
+        # re-register the surviving committed data and skip every stage,
+        # with the bucket spec (and the partitioned edges table) intact
+        n_mentions = p2.table("mentions").count()
+        n_edges = p2.table("edges").count()
+        for st in ("extract", "mentions", "linked", "triples", "aliases",
+                   "nodes", "edges"):
+            spark.sql(f"DROP TABLE IF EXISTS tbkt_{st}")
+        p3 = build_kg_pipeline(spark, str(tmp_path / "bkt"), pages_path, gaz,
+                               corpus.PREDICATES, bucket=("url", 4),
+                               table_prefix="tbkt")
+        assert set(p3.run().values()) == {"skipped"}
+        assert p3.table("mentions").count() == n_mentions
+        assert p3.table("edges").count() == n_edges
+        mm3 = maximal_mentions(p3.table("mentions"), id_col="url")
+        tr3 = pattern_triples(mm3, p3.table("extract"), corpus.PREDICATES,
+                              id_col="url")
+        plan3 = tr3._jdf.queryExecution().executedPlan().toString()
+        assert plan3.count("Exchange hashpartitioning") == 0, plan3
+        assert "Bucketed: true" in plan3
     finally:
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
                        "true")
