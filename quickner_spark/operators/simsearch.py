@@ -282,10 +282,25 @@ def _lsh_signatures(v: DataFrame, dim: int, n_planes: int, n_tables: int,
                        .otherwise(F.lit(0).cast("long"))).alias("sig")))
 
 
+def _drop_oversized_buckets(sig: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Skew guard, same idea as the shingle ``doc_freq_cap``: an LSH
+    bucket holding more than ``max_bucket`` vectors (degenerate
+    signatures — zero vectors, boilerplate embeddings) carries no
+    discriminative value but quadratic join cost; drop those (tbl, sig)
+    buckets before the candidate join. One map-side-partial aggregate
+    over the signature table — no extra pass over the vectors."""
+    if max_bucket is None:
+        return sig
+    sizes = (sig.groupBy("tbl", "sig").agg(F.count("*").alias("_bsz"))
+             .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    return sig.join(sizes, ["tbl", "sig"])
+
+
 def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
                   n_tables: int = 4, id_col: str = "vec_id",
                   vec_col: str = "embedding", scale: int = 100,
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42,
+                  max_bucket: int | None = 10_000) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path next to
     the exact ``embedding_dup_pairs`` (which broadcasts the matrix).
 
@@ -295,15 +310,17 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
     the exact pair set (precision 1.0 by construction; recall grows with
     n_tables — asserted against the exact operator in
     tests/test_simsearch.py). The self-join is an equi-join on (tbl, sig):
-    bucket sizes, not N^2, bound the work; at corpus scale add bucket-size
-    capping exactly like the shingle doc_freq_cap."""
+    bucket sizes, not N^2, bound the work; ``max_bucket`` drops
+    degenerate oversized buckets (see ``_drop_oversized_buckets``) so one
+    hot signature cannot go quadratic at corpus scale."""
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     dim = _infer_dim(df, vec_col)
     if dim is None:  # empty corpus -> empty pair set, same schema
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, dot long, n2_a long, n2_b long")
-    sig = _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col)
+    sig = _drop_oversized_buckets(
+        _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col), max_bucket)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                     & (F.col("a.sig") == F.col("b.sig"))
@@ -332,7 +349,8 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
 
 def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
              n_tables: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 42,
+             max_bucket: int | None = 10_000) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
     Hyperplanes are derived deterministically from ``xxhash64(seed, table,
@@ -340,7 +358,9 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     randomness. Candidates = vectors sharing a (table, signature) bucket
     with a probe; candidates are re-scored exactly (cosine) and top-k'd.
     Recall < 1 by construction; raise n_tables for recall, n_planes for
-    precision/bucket size.
+    precision/bucket size. ``max_bucket`` drops degenerate oversized
+    buckets (see ``_drop_oversized_buckets``) so one hot signature cannot
+    flood the candidate set at corpus scale.
 
     Signatures are computed relationally (posexplode dims -> broadcast join
     with a plane-weight table -> two aggregations) rather than as one giant
@@ -352,7 +372,8 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     spark = df.sparkSession
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    sig = _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col)
+    sig = _drop_oversized_buckets(
+        _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col), max_bucket)
     buckets = v.join(sig, id_col).select(id_col, "v", "tbl", "sig")
     probes = buckets.where(F.col(id_col).isin(list(probe_ids)))
     cand = (buckets.alias("c").join(

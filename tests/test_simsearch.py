@@ -142,6 +142,26 @@ def test_embedding_dup_pairs_no_driver_collect(emb):
     assert df.count() >= 0
 
 
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, emb):
+    """max_bucket is the LSH skew guard (same idea as the shingle
+    doc_freq_cap): a degenerate signature shared by the whole corpus may
+    not go quadratic. Identical vectors collide in every table; a cap
+    below the corpus size drops those buckets entirely, and the default
+    cap (10k) never triggers at test scale — outputs unchanged."""
+    rows = [(i, [1.0] * 16) for i in range(50)]  # one bucket per table
+    degen = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert ss.lsh_dup_pairs(degen, threshold_pct=40, max_bucket=10).count() == 0
+    assert ss.lsh_topk(degen, probe_ids=[0], max_bucket=10).count() == 0
+    # uncapped, the identical vectors are all pairwise dups / neighbors
+    assert ss.lsh_dup_pairs(degen, threshold_pct=40,
+                            max_bucket=None).count() == 50 * 49 // 2
+    # default cap is invisible on the real fixture
+    a = sorted(map(tuple, ss.lsh_dup_pairs(emb, threshold_pct=40).collect()))
+    b = sorted(map(tuple, ss.lsh_dup_pairs(emb, threshold_pct=40,
+                                           max_bucket=None).collect()))
+    assert a == b
+
+
 def test_lsh_ops_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ss.lsh_dup_pairs(empty).count() == 0
