@@ -220,7 +220,13 @@ class Pipeline:
         out_path = _local(out_path)
         files = sorted(glob.glob(os.path.join(out_path, "**", "*.parquet"),
                                  recursive=True))
-        rows = [pq.read_metadata(f).num_rows for f in files]
+        # footer reads are tiny metadata fetches; at corpus scale a stage
+        # has thousands of files and a serial loop becomes driver floor —
+        # read them on a thread pool (I/O-bound, GIL-released in arrow)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            rows = list(pool.map(lambda f: pq.read_metadata(f).num_rows,
+                                 files))
         table = pa.table({
             "partition_id": pa.array(range(len(files)), pa.int32()),
             "rows_out": pa.array(rows, pa.int64()),
