@@ -33,6 +33,8 @@ from quickner_spark.operators.graph import connected_components
 from quickner_spark.operators import events as ev
 from quickner_spark.kg.triples import pattern_triples
 from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+from quickner_spark.operators.hashing import (
+    MIX_M, MIX_P, minhash_mix_constants)
 
 # ---------------------------------------------------------------------------
 # Shared fixtures: a fixed gazetteer over the testdata vocabulary.
@@ -217,25 +219,35 @@ def q13_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded near-dup candidates, exact-verified. No SQL
-    oracle (hash-function-specific); rows-only check. Recall vs
-    q10 is asserted in tests/test_textops.py."""
+    """MinHash+LSH banded near-dup candidates, exact-verified — run in the
+    PORTABLE hash family (md5-derived affine mixes, hashing.py) so the
+    DuckDB oracle reproduces signatures, band buckets, candidates and the
+    verified pairs bit-for-bit. Production default stays xxhash64 (same
+    plan shape; recall vs q10 asserted in tests/test_textops.py)."""
     return tx.minhash_dedup(_docs(spark, sf_dir), n=3, num_hashes=64,
-                            bands=16, threshold_pct=80)
+                            bands=16, threshold_pct=80,
+                            hash_family="portable")
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 fingerprints (xxhash64-based; rows-only check)."""
-    return tx.simhash64(_docs(spark, sf_dir))
+    """SimHash64 fingerprints in the PORTABLE hash family (bits 0..59 from
+    the low md5 half, 60..63 from the high half) — oracle-exact in DuckDB.
+    Production default stays xxhash64."""
+    return tx.simhash64(_docs(spark, sf_dir), hash_family="portable")
 
 
 def q16_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (rows-only; recall vs
-    exact cosine asserted in tests/test_simsearch.py)."""
+    """Approximate top-k via random-hyperplane LSH, PORTABLE mode: md5
+    plane signs + integer-quantized projections (sign test exact) and
+    integer-exact quantized-cosine re-scoring (one IEEE division per pair),
+    so ranks AND scores are oracle-comparable. Recall vs exact cosine is
+    asserted in tests/test_simsearch.py on the production (xxhash64)
+    configuration."""
     out = ss.lsh_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
-                      n_planes=4, n_tables=16)
+                      n_planes=4, n_tables=16,
+                      hash_family="portable", score="quantized")
     return out.select("probe_id", "neighbor_id",
-                      F.col("rank").cast("long").alias("rank"))
+                      F.col("rank").cast("long").alias("rank"), "cosine")
 
 
 def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,8 +298,13 @@ def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF cells (deterministic seeded k-means
-    quantizer, nprobe probing; rows-only — recall vs exact cosine asserted
-    in tests/test_simsearch.py)."""
+    quantizer, nprobe probing). Deliberately rows-only — the one query
+    without a SQL oracle: restating 2 Lloyd iterations relationally would
+    need float MEANS whose cross-engine summation order is not defined
+    (unlike the integer-exact tricks used for q14/q15/q16/q31), so a
+    recursive-CTE oracle would be flaky by construction, not evidence.
+    Correctness is instead pinned in tests/test_simsearch.py: recall vs
+    exact cosine on clustered data + determinism across runs."""
     out = ss.ivf_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
                       nlist=16, nprobe=4, iters=2)
     return out.select("probe_id", "neighbor_id",
@@ -379,10 +396,12 @@ def q31_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via LSH bucketing (scale path of q18): bucket
     self-join candidates verified with the identical integer predicate —
     emitted rows are a proven subset of q18 (tests/test_simsearch.py
-    asserts subset + recall>=0.7). Rows-only check (bucketing is
-    hash-function-specific)."""
+    asserts subset + recall>=0.7). PORTABLE mode (md5 plane signs +
+    quantized projections) so the full bucket->candidate->verify chain is
+    oracle-exact in DuckDB; production default stays xxhash64."""
     return ss.lsh_dup_pairs(_emb(spark, sf_dir), threshold_pct=40,
-                            n_planes=4, n_tables=16)
+                            n_planes=4, n_tables=16,
+                            hash_family="portable")
 
 
 def q32_conll_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,12 +516,46 @@ def _alias_values_sql() -> str:
 # oracle_sql() — DuckDB twins
 # ---------------------------------------------------------------------------
 
+def _lsh_sig_cte(n_planes: int, n_tables: int, seed: int) -> str:
+    """DuckDB twin of simsearch._lsh_signatures in PORTABLE mode: md5-low-60
+    plane signs over integer-quantized (scale 1000) components; the sign
+    test is exact integer arithmetic, so signatures match Spark's
+    bit-for-bit. Yields CTEs ``v`` (quantized vectors) and ``sig``
+    (vec_id, tbl, sig)."""
+    return f"""
+v AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      FROM embeddings),
+dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+planes AS (
+  SELECT t.i // ({n_planes} * dim) AS tbl,
+         (t.i // dim) % {n_planes} AS plane,
+         t.i % dim AS d,
+         CASE WHEN ('0x' || substr(md5('lsh:{seed}:' || t.i), 1, 15))::BIGINT & 1 = 0
+              THEN 1::BIGINT ELSE -1::BIGINT END AS w
+  FROM dims, LATERAL (SELECT unnest(range({n_tables} * {n_planes} * dim)) AS i) t
+),
+vex AS (SELECT vec_id, t.i AS d, q[t.i + 1] AS x
+        FROM v, LATERAL (SELECT unnest(range(len(q))) AS i) t),
+proj AS (SELECT vec_id, tbl, plane, sum(x * w) AS s
+         FROM vex JOIN planes USING (d) GROUP BY 1, 2, 3),
+sig AS (SELECT vec_id, tbl,
+               CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane)
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM proj GROUP BY 1, 2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _mentions_cte()
     filt = VALID_FILTERS.duckdb_predicate("text")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     pred_values = ", ".join(f"('{p}')" for p in PREDICATES)
     probe_list = ", ".join(str(p) for p in KNN_PROBES)
+    mh_a, mh_b = minhash_mix_constants(64)
+    mh_a_lit = "[" + ", ".join(str(x) for x in mh_a) + "]"
+    mh_b_lit = "[" + ", ".join(str(x) for x in mh_b) + "]"
+    lsh_cte = _lsh_sig_cte(n_planes=4, n_tables=16, seed=42)
     return {
         "q01_mentions": f"""
 WITH {cte}
@@ -694,6 +747,111 @@ p AS (
 )
 SELECT id_a, id_b, dot, n2_a, n2_b
 FROM p WHERE dot > 0 AND dot * dot * 10000 >= 1600 * n2_a * n2_b
+""",
+        # PORTABLE-hash twins (md5-derived family, hashing.py): the full
+        # signature -> bucket -> candidate -> verify chain restated
+        # relationally, bit-identical to the Spark portable mode.
+        "q14_minhash_dedup": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS sh_set
+  FROM w
+),
+hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       FROM shs, unnest(sh_set) AS t(s)),
+consts AS (SELECT {mh_a_lit} AS a, {mh_b_lit} AS b),
+sigel AS (
+  SELECT doc_id, r.i AS i,
+         min((a[r.i + 1]::BIGINT * (h % {MIX_M}) + b[r.i + 1]::BIGINT) % {MIX_P}) AS hv
+  FROM hx, range(64) r(i), consts GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(hv ORDER BY i) AS sig FROM sigel GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, r.i AS band,
+         md5(array_to_string(sig[r.i * 4 + 1 : r.i * 4 + 4], ',') || '|' || r.i) AS bucket
+  FROM sig, range(16) r(i)
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS shared,
+         CAST(len(sa.sh_set) AS BIGINT) AS n_a,
+         CAST(len(sb.sh_set) AS BIGINT) AS n_b
+  FROM cand JOIN shs sa ON sa.doc_id = doc_a JOIN shs sb ON sb.doc_id = doc_b
+)
+SELECT * FROM ver WHERE 100 * shared >= 80 * (n_a + n_b - shared)
+""",
+        "q15_simhash": """
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(t), 17, 15))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id, r.i AS b,
+         sum(CASE WHEN (CASE WHEN r.i < 60 THEN h1 >> r.i
+                             ELSE h2 >> (r.i - 60) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, range(64) r(i) GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN
+         CASE WHEN b = 63 THEN -9223372036854775808
+              ELSE (1::BIGINT << b) END
+       ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "q16_lsh_knn": f"""
+WITH {lsh_cte},
+nrm AS (SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                            i -> q[i] * q[i])) AS BIGINT) AS n2
+        FROM v),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM sig p JOIN sig c
+    ON p.tbl = c.tbl AND p.sig = c.sig AND p.vec_id <> c.vec_id
+  WHERE p.vec_id IN ({probe_list})
+),
+scored AS (
+  SELECT probe_id, neighbor_id,
+         CAST(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                           i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+  FROM cand JOIN nrm a ON a.vec_id = probe_id JOIN nrm b ON b.vec_id = neighbor_id
+)
+SELECT probe_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "q31_lsh_dup_pairs": f"""
+WITH {lsh_cte},
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+q100 AS (SELECT vec_id,
+                list_transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE)*100) AS BIGINT)) AS q
+         FROM embeddings),
+nrm AS (SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                            i -> q[i] * q[i])) AS BIGINT) AS n2
+        FROM q100),
+pr AS (SELECT id_a, id_b,
+              CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                           i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+              a.n2 AS n2_a, b.n2 AS n2_b
+       FROM cand JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b)
+SELECT id_a, id_b, dot, n2_a, n2_b
+FROM pr WHERE dot > 0 AND dot * dot * 10000 >= 1600 * n2_a * n2_b
 """,
         "q19_salted_entity_index": f"""
 WITH {cte}

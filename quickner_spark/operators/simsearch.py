@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from quickner_spark.operators.hashing import portable_hash64
+
 __all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
            "embedding_dup_pairs", "lsh_dup_pairs"]
 
@@ -243,9 +245,15 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
                          (dot / (norm(F.col("pv")) * norm(F.col("cv"))))
                          .alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("probe_id", "neighbor_id", "rank", "cosine"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("probe_id", "neighbor_id", "rank", "cosine"))
+    # The cache existed for the Lloyd iterations (iters+1 driver actions);
+    # the returned plan scans v exactly once more, so release the executor
+    # storage NOW and let that one action recompute the narrow cast — on a
+    # shared cluster a leaked cache outlives the query, a re-scan does not.
+    v.unpersist(blocking=False)
+    return out
 
 
 def _infer_dim(df: DataFrame, vec_col: str):
@@ -259,20 +267,42 @@ def _infer_dim(df: DataFrame, vec_col: str):
 
 
 def _lsh_signatures(v: DataFrame, dim: int, n_planes: int, n_tables: int,
-                    seed: int, id_col: str) -> DataFrame:
+                    seed: int, id_col: str,
+                    hash_family: str = "xxhash64",
+                    quantize_scale: int = 1000) -> DataFrame:
     """(id, v) -> (id, tbl, sig): sign-LSH signatures per hash table.
     Hyperplanes derive deterministically from xxhash64(seed, index) — no
     driver randomness; computed relationally (posexplode dims -> broadcast
     plane-weight join -> two aggregations) so the plan is constant-size
-    for any dimensionality."""
+    for any dimensionality.
+
+    ``hash_family="portable"``: plane signs come from the md5-based
+    portable hash of ``'lsh:{seed}:{index}'`` AND the projection runs on
+    integer-quantized components (``round(x * quantize_scale)``), so the
+    sign test ``s >= 0`` is exact integer arithmetic — no float-summation
+    order dependence — and the identical signatures are computable in
+    DuckDB (oracles q16/q31). Production default stays xxhash64 over
+    float64 projections."""
     spark = v.sparkSession
+    if hash_family == "portable":
+        one = F.lit(1).cast("long")
+        w = (F.when(portable_hash64(
+                F.concat(F.lit(f"lsh:{seed}:"), F.col("id").cast("string")))
+             .bitwiseAND(one) == 0, one).otherwise(-one))
+    elif hash_family == "xxhash64":
+        w = (F.when(F.xxhash64(F.lit(seed), F.col("id")) % 2 == 0,
+                    F.lit(1.0)).otherwise(F.lit(-1.0)))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     planes = (spark.range(n_tables * n_planes * dim)
               .select((F.col("id") / (n_planes * dim)).cast("int").alias("tbl"),
                       ((F.col("id") / dim) % n_planes).cast("int").alias("plane"),
                       (F.col("id") % dim).cast("int").alias("d"),
-                      F.when(F.xxhash64(F.lit(seed), F.col("id")) % 2 == 0,
-                             F.lit(1.0)).otherwise(F.lit(-1.0)).alias("w")))
+                      w.alias("w")))
     vex = v.select(id_col, F.posexplode("v").alias("d", "x"))
+    if hash_family == "portable":
+        vex = vex.withColumn(
+            "x", F.round(F.col("x") * quantize_scale).cast("long"))
     proj = (vex.join(F.broadcast(planes), "d")
             .groupBy(id_col, "tbl", "plane")
             .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
@@ -300,7 +330,8 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
                   n_tables: int = 4, id_col: str = "vec_id",
                   vec_col: str = "embedding", scale: int = 100,
                   seed: int = 42,
-                  max_bucket: int | None = 10_000) -> DataFrame:
+                  max_bucket: int | None = None,
+                  hash_family: str = "xxhash64") -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path next to
     the exact ``embedding_dup_pairs`` (which broadcasts the matrix).
 
@@ -310,9 +341,15 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
     the exact pair set (precision 1.0 by construction; recall grows with
     n_tables — asserted against the exact operator in
     tests/test_simsearch.py). The self-join is an equi-join on (tbl, sig):
-    bucket sizes, not N^2, bound the work; ``max_bucket`` drops
-    degenerate oversized buckets (see ``_drop_oversized_buckets``) so one
-    hot signature cannot go quadratic at corpus scale."""
+    bucket sizes, not N^2, bound the work.
+
+    ``max_bucket`` (opt-in — default None keeps every bucket, matching
+    pre-cap releases) drops degenerate oversized buckets (see
+    ``_drop_oversized_buckets``) so one hot signature cannot go quadratic
+    at corpus scale; enable it explicitly for corpus-scale runs (10_000 is
+    a reasonable cap). ``hash_family="portable"`` makes the bucketing
+    md5-based and integer-exact (see ``_lsh_signatures``) for cross-engine
+    verification (oracle q31)."""
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     dim = _infer_dim(df, vec_col)
@@ -320,7 +357,8 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, dot long, n2_a long, n2_b long")
     sig = _drop_oversized_buckets(
-        _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col), max_bucket)
+        _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col,
+                        hash_family), max_bucket)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                     & (F.col("a.sig") == F.col("b.sig"))
@@ -350,17 +388,31 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
 def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
              n_tables: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,
-             max_bucket: int | None = 10_000) -> DataFrame:
+             max_bucket: int | None = None,
+             hash_family: str = "xxhash64",
+             score: str = "cosine", scale: int = 1000) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
     Hyperplanes are derived deterministically from ``xxhash64(seed, table,
     plane, dim)`` so the bucketing is reproducible with no driver-side
     randomness. Candidates = vectors sharing a (table, signature) bucket
-    with a probe; candidates are re-scored exactly (cosine) and top-k'd.
-    Recall < 1 by construction; raise n_tables for recall, n_planes for
-    precision/bucket size. ``max_bucket`` drops degenerate oversized
-    buckets (see ``_drop_oversized_buckets``) so one hot signature cannot
-    flood the candidate set at corpus scale.
+    with a probe; candidates are re-scored exactly and top-k'd. Recall < 1
+    by construction; raise n_tables for recall, n_planes for precision/
+    bucket size.
+
+    ``max_bucket`` (opt-in — default None keeps every bucket, matching
+    pre-cap releases) drops degenerate oversized buckets (see
+    ``_drop_oversized_buckets``); note that with the cap on, a probe whose
+    bucket is oversized loses that table's candidates — enable explicitly
+    at corpus scale where hot signatures would otherwise flood the join.
+
+    ``hash_family="portable"`` derives the plane signs from md5 and
+    projects on quantized integers (see ``_lsh_signatures``);
+    ``score="quantized"`` re-scores candidates with the integer-exact
+    quantized cosine (int64 dot / sqrt of int64 norms — one deterministic
+    IEEE division per pair, no float accumulation), so ranks and scores
+    are bit-identical across engines (oracle q16). Defaults stay
+    xxhash64 + float64 cosine for production.
 
     Signatures are computed relationally (posexplode dims -> broadcast join
     with a plane-weight table -> two aggregations) rather than as one giant
@@ -370,10 +422,17 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
         return df.sparkSession.createDataFrame(
             [], "probe_id long, neighbor_id long, rank int, cosine double")
     spark = df.sparkSession
-    v = df.select(F.col(id_col),
-                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    if score == "quantized":
+        v = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("v"))
+    else:
+        v = df.select(F.col(id_col),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
     sig = _drop_oversized_buckets(
-        _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col), max_bucket)
+        _lsh_signatures(df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")),
+            dim, n_planes, n_tables, seed, id_col, hash_family), max_bucket)
     buckets = v.join(sig, id_col).select(id_col, "v", "tbl", "sig")
     probes = buckets.where(F.col(id_col).isin(list(probe_ids)))
     cand = (buckets.alias("c").join(
@@ -384,12 +443,22 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
                 F.col(f"c.{id_col}").alias("neighbor_id"),
                 F.col("p.v").alias("pv"), F.col("c.v").alias("cv"))
         .distinct())
-    dot = F.aggregate(F.zip_with("pv", "cv", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, b: a + b)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
-                                        F.lit(0.0), lambda a, b: a + b))
-    scored = cand.select("probe_id", "neighbor_id",
-                         (dot / (norm(F.col("pv")) * norm(F.col("cv")))).alias("cosine"))
+    if score == "quantized":
+        # integer dot + norms, then ONE fp division per pair: every input
+        # to the division is an exact int64, so the double result (and the
+        # ordering it induces) is reproducible on any IEEE-754 engine.
+        dot = _int_dot(F.col("pv"), F.col("cv")).cast("double")
+        n2 = lambda c: F.aggregate(F.transform(c, lambda x: x * x),
+                                   F.lit(0).cast("long"),
+                                   lambda acc, x: acc + x).cast("double")
+        cosine = dot / (F.sqrt(n2(F.col("pv"))) * F.sqrt(n2(F.col("cv"))))
+    else:
+        dot = F.aggregate(F.zip_with("pv", "cv", lambda x, y: x * y),
+                          F.lit(0.0), lambda a, b: a + b)
+        norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                            F.lit(0.0), lambda a, b: a + b))
+        cosine = dot / (norm(F.col("pv")) * norm(F.col("cv")))
+    scored = cand.select("probe_id", "neighbor_id", cosine.alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from quickner_spark.operators.hashing import (
+    MIX_M, MIX_P, minhash_mix_constants, portable_hash64, portable_hash64_hi)
+
 __all__ = [
     "token_stats",
     "exact_dup_groups",
@@ -289,7 +292,8 @@ def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 64,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_family: str = "xxhash64") -> DataFrame:
     """MinHash signatures over word n-gram shingles, fully JVM-side:
     h_i(s) = xxhash64(s, i); signature_i = min over shingles.
 
@@ -300,20 +304,45 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 64,
     shuffles. Each shingle STRING is hashed once (``xxhash64(s)``); the k
     per-permutation hashes re-hash that fixed-width long
     (``xxhash64(h, i)``), so the variable-length string is not re-scanned
-    k times — the standard one-hash-plus-k-mixes MinHash construction."""
+    k times — the standard one-hash-plus-k-mixes MinHash construction.
+
+    ``hash_family="portable"`` swaps the per-permutation hashes for the
+    md5-derived affine family in :mod:`quickner_spark.operators.hashing`,
+    reproducible in any SQL engine — the configuration the DuckDB oracle
+    verifies (q14); production stays on xxhash64."""
     sets = shingle_sets(df, n, text_col, id_col)
     return sets.select(F.col(id_col),
-                       _minhash_sig(F.col("sh_set"), num_hashes)
+                       _minhash_sig(F.col("sh_set"), num_hashes, hash_family)
                        .alias("signature"))
 
 
-def _minhash_sig(sh_set: Column, num_hashes: int) -> Column:
+def _minhash_sig(sh_set: Column, num_hashes: int,
+                 hash_family: str = "xxhash64") -> Column:
     # Fold over the shingle hashes with an array-of-k-minima accumulator
     # (rather than k outer passes re-hashing the strings): the string array
     # is the aggregate's INPUT, so it is evaluated exactly once per row no
     # matter how Catalyst collapses projections.
     long_max = F.lit(9223372036854775807).cast("long")
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_family == "portable":
+        # h_i(s) = (a_i * (H(s) % 2^30) + b_i) % (2^31-1), H = md5-low-60.
+        # Same one-hash-plus-k-mixes shape; the mixes are overflow-safe
+        # affine maps so the identical signature is computable in DuckDB.
+        a_c, b_c = minhash_mix_constants(num_hashes)
+        arr_a = F.array(*[F.lit(a).cast("long") for a in a_c])
+        arr_b = F.array(*[F.lit(b).cast("long") for b in b_c])
+        return F.aggregate(
+            F.transform(sh_set, portable_hash64),
+            F.array_repeat(long_max, num_hashes),
+            lambda acc, h: F.zip_with(
+                acc, idx,
+                lambda a, i: F.least(
+                    a,
+                    (F.element_at(arr_a, i + 1) * (h % F.lit(MIX_M))
+                     + F.element_at(arr_b, i + 1)) % F.lit(MIX_P))),
+        )
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return F.aggregate(
         F.transform(sh_set, lambda s: F.xxhash64(s)),
         F.array_repeat(long_max, num_hashes),
@@ -324,24 +353,41 @@ def _minhash_sig(sh_set: Column, num_hashes: int) -> Column:
 
 def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
                   bands: int = 16, threshold_pct: int = 80,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_family: str = "xxhash64") -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
 
     Scale path for dedup: signatures -> band keys -> group by band bucket ->
     candidate pairs -> exact verify. Probabilistic recall (a truly-similar
     pair missed by every band is possible, P ~ (1-s^r)^b); the exact verify
-    step makes precision 1.0 relative to ``jaccard_pairs``."""
+    step makes precision 1.0 relative to ``jaccard_pairs``.
+
+    ``hash_family="portable"`` makes both the signatures and the band
+    buckets md5-based (engine-portable) so the full candidate set — and
+    therefore the verified output — is reproducible in DuckDB (oracle
+    q14). Production default stays xxhash64 (cheaper fixed-width bucket
+    key on the shuffle)."""
     rows = num_hashes // bands
     sets = shingle_sets(df, n, text_col, id_col).cache()
-    sig = sets.select(id_col, _minhash_sig(F.col("sh_set"),
-                                           num_hashes).alias("signature"))
+    sig = sets.select(id_col, _minhash_sig(F.col("sh_set"), num_hashes,
+                                           hash_family).alias("signature"))
+    if hash_family == "portable":
+        # md5 over "sig[b*r+1..b*r+r] joined by ',' then '|band'" — the
+        # exact string DuckDB's array_to_string(...) || '|' || band builds.
+        def _bucket(b: int) -> Column:
+            return F.md5(F.concat(
+                F.concat_ws(",", *[F.element_at("signature", b * rows + r + 1)
+                                   for r in range(rows)]),
+                F.lit(f"|{b}")))
+    else:
+        def _bucket(b: int) -> Column:
+            return F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("signature", b * rows + r + 1)
+                       for r in range(rows)]), F.lit(b))
     banded = sig.select(
         id_col,
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("signature", b * rows + r + 1)
-                                for r in range(rows)]), F.lit(b)).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("e"),
     ).select(id_col, "e.band", "e.bucket")
@@ -399,7 +445,8 @@ def repeated_blocks(df: DataFrame, block: int = 16, min_count: int = 2,
             .where(F.col("n_docs") >= min_count))
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens, JVM-side: per token compute
     xxhash64, then for each bit position sum +/-1 across tokens and take the
     sign. Hamming-close simhashes ~ similar token multisets.
@@ -409,20 +456,51 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     shuffles — the naive explode-to-(doc, token) + ``groupBy(doc)`` form
     pushes one row per corpus token through an exchange, which at 100 TB is
     the full tokenized corpus through a single shuffle. Row-identical to
-    that form (pinned by a differential test in tests/test_textops.py)."""
+    that form (pinned by a differential test in tests/test_textops.py).
+
+    ``hash_family="portable"``: the 64 token-hash bits come from md5
+    instead — bits 0..59 from the low 60 bits of md5(token), bits 60..63
+    from the (independent) second md5 half — so the identical fingerprint
+    is computable in DuckDB (oracle q15). Production default xxhash64."""
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
     # constant array of the 64 bit masks; shiftleft keeps the arithmetic on
     # the JVM (1<<63 overflows a Python-literal long in F.lit; as a JVM
     # shift it wraps to the sign bit, which is fine for a fingerprint).
     masks = F.array(*[F.shiftleft(one, b) for b in range(64)])
-    bit_sums = F.aggregate(
-        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)),
-        F.array_repeat(zero, 64),
-        lambda acc, h: F.zip_with(
-            acc, masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, one).otherwise(-one)),
-    )
+    if hash_family == "portable":
+        # per-bit (half, mask) constants: bits 0..59 test the low md5
+        # half, 60..63 the high half — all masks < 2^60, plain literals.
+        half_masks = F.array(*[
+            F.struct(F.lit(0 if b < 60 else 1).alias("half"),
+                     F.lit(1 << (b if b < 60 else b - 60)).cast("long")
+                     .alias("mask"))
+            for b in range(64)])
+        tok_h = F.transform(
+            F.split(F.col(text_col), " "),
+            lambda t: F.struct(portable_hash64(t).alias("lo"),
+                               portable_hash64_hi(t).alias("hi")))
+        bit_sums = F.aggregate(
+            tok_h,
+            F.array_repeat(zero, 64),
+            lambda acc, h: F.zip_with(
+                acc, half_masks,
+                lambda a, m: a + F.when(
+                    F.when(m["half"] == 0, h["lo"]).otherwise(h["hi"])
+                    .bitwiseAND(m["mask"]) != 0, one).otherwise(-one)),
+        )
+    elif hash_family == "xxhash64":
+        bit_sums = F.aggregate(
+            F.transform(F.split(F.col(text_col), " "),
+                        lambda t: F.xxhash64(t)),
+            F.array_repeat(zero, 64),
+            lambda acc, h: F.zip_with(
+                acc, masks,
+                lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                        one).otherwise(-one)),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sim = F.aggregate(
         F.zip_with(bit_sums, masks,
                    lambda s, m: F.when(s > 0, m).otherwise(zero)),
