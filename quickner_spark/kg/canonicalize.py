@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from quickner_spark.operators.caching import release, track
 from quickner_spark.operators.graph import connected_components
 
 __all__ = ["char_shingles", "alias_similarity_edges", "canonicalize_aliases"]
@@ -64,11 +65,11 @@ def alias_similarity_edges(aliases: DataFrame, n: int = 3,
     su = sets.select(F.col(col).alias("u"), F.col("hs").alias("hs_u"))
     sv = sets.select(F.col(col).alias("v"), F.col("hs").alias("hs_v"))
     shared = F.size(F.array_intersect("hs_u", "hs_v"))
-    return (cand.join(su, "u").join(sv, "v")
-            .where(F.lit(100) * shared
-                   >= F.lit(threshold_pct)
-                   * (F.size("hs_u") + F.size("hs_v") - shared))
-            .select("u", "v"))
+    return track((cand.join(su, "u").join(sv, "v")
+                  .where(F.lit(100) * shared
+                         >= F.lit(threshold_pct)
+                         * (F.size("hs_u") + F.size("hs_v") - shared))
+                  .select("u", "v")), sets)
 
 
 def canonicalize_aliases(aliases: DataFrame, n: int = 3,
@@ -77,7 +78,13 @@ def canonicalize_aliases(aliases: DataFrame, n: int = 3,
     similarity graph; canonical_id = lexicographic min alias of the
     component; singletons map to themselves."""
     edges = alias_similarity_edges(aliases, n, threshold_pct, col)
+    # connected_components materializes the edge list up front (count or
+    # GraphFrames checkpoint), so the shingle cache inside edges has done
+    # its job by the time it returns — release it here; `comp` no longer
+    # depends on it (driver path: createDataFrame; distributed path:
+    # localCheckpointed sym).
     comp = connected_components(edges, "u", "v")
+    release(edges)
     out = (aliases.select(F.col(col))
            .join(comp.withColumnRenamed("node", col), col, "left")
            .select(F.col(col),

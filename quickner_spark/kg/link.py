@@ -53,10 +53,14 @@ def link_mentions(mentions: DataFrame, documents: DataFrame,
     per-mention plan, pinned by the differential test and the q27 oracle):
 
     1. Each document reduces IN-ROW to its distinct profile-vocabulary
-       hits (``array_intersect`` against the literal vocabulary — the
-       alias table is broadcast-sized by contract, so its token
-       vocabulary is a plan literal). No token explode, no doc-token
-       shuffle.
+       hits: the vocabulary is aggregated to a SINGLE-ROW DataFrame and
+       attached with a 1-row broadcast nested-loop join, then
+       ``array_intersect`` runs per document. No token explode, no
+       doc-token shuffle — and, unlike a literal ``F.lit(vocab)`` array,
+       the vocabulary travels as broadcast task data, so a million-alias
+       table grows the broadcast, never the Catalyst plan/codegen; an
+       EMPTY alias table yields an empty array<string> (not an
+       AnalysisException) and an empty, correctly-typed result.
     2. Mentions join that narrow (doc, doc_toks) table on the doc key —
        the single shuffle, uniformly keyed by document, immune to
        head-entity skew by construction.
@@ -76,16 +80,21 @@ def link_mentions(mentions: DataFrame, documents: DataFrame,
                 .agg(F.collect_list(F.struct("canonical_id", "label",
                                              "prior", "__toks"))
                      .alias("__cands")))
-    # distinct profile vocabulary as one literal array (driver-side, tiny —
-    # same broadcastability contract as F.broadcast(alias_table))
-    vocab = sorted({t
-                    for r in alias_table.select("canonical_id")
-                    .distinct().collect()
-                    for t in r[0].replace("_", " ").split(" ")})
-    doc_toks = documents.select(
-        F.col(id_col),
-        F.array_intersect(F.split(F.lower(F.col(text_col)), " "),
-                          F.lit(vocab)).alias("__doc_toks"))
+    # distinct profile vocabulary as ONE row (array<string>), built
+    # relationally — no driver collect, no plan literal. agg-without-
+    # groupBy returns exactly one row even for an empty alias table
+    # (collect_set -> []), so array_intersect stays well-typed.
+    vocab_df = (alias_table
+                .select(F.explode(F.array_distinct(F.split(
+                    F.replace(F.col("canonical_id"), F.lit("_"), F.lit(" ")),
+                    " "))).alias("__t"))
+                .agg(F.array_sort(F.collect_set("__t")).alias("__vocab")))
+    doc_toks = (documents
+                .crossJoin(F.broadcast(vocab_df))
+                .select(F.col(id_col),
+                        F.array_intersect(
+                            F.split(F.lower(F.col(text_col)), " "),
+                            F.col("__vocab")).alias("__doc_toks")))
     # project the mention's own label away: the output label is the linked
     # candidate's (alias table), and both sides naming it is ambiguous.
     m = mentions.select(id_col, "start", "end", "surface",

@@ -98,7 +98,13 @@ class Pipeline:
             # a fresh session's in-memory catalog has forgotten the table;
             # re-attach it over the surviving committed data first
             if not self.spark.catalog.tableExists(self.path(stage_name)):
-                stage = next(s for s in self.stages if s.name == stage_name)
+                stage = next((s for s in self.stages if s.name == stage_name),
+                             None)
+                if stage is None:
+                    known = ", ".join(s.name for s in self.stages)
+                    raise ValueError(
+                        f"unknown stage {stage_name!r}; pipeline stages "
+                        f"are: {known}")
                 if _exists(self.spark, self._data_path(stage_name)):
                     self._register_bucketed(stage)
             return self.spark.read.table(self.path(stage_name))

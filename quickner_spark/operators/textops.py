@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from quickner_spark.operators.caching import track
 from quickner_spark.operators.hashing import (
     MIX_M, MIX_P, minhash_mix_constants, portable_hash64, portable_hash64_hi)
 
@@ -189,10 +190,11 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_pct: int = 80,
               .agg(F.count("*").alias("shared")))
     ca = counts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
     cb = counts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
-    return (shared.join(ca, "doc_a").join(cb, "doc_b")
-            .where(F.lit(100) * F.col("shared")
-                   >= F.lit(threshold_pct) * (F.col("n_a") + F.col("n_b") - F.col("shared")))
-            .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+    return track((shared.join(ca, "doc_a").join(cb, "doc_b")
+                  .where(F.lit(100) * F.col("shared")
+                         >= F.lit(threshold_pct)
+                         * (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                  .select("doc_a", "doc_b", "shared", "n_a", "n_b")), sh)
 
 
 def jaccard_pairs_prefix(df: DataFrame, n: int = 3, threshold_pct: int = 80,
@@ -241,11 +243,11 @@ def jaccard_pairs_prefix(df: DataFrame, n: int = 3, threshold_pct: int = 80,
                         .alias("shared"),
                         F.size("hs_a").cast("long").alias("n_a"),
                         F.size("hs_b").cast("long").alias("n_b")))
-    return (verified
-            .where(F.lit(100) * F.col("shared")
-                   >= F.lit(threshold_pct)
-                   * (F.col("n_a") + F.col("n_b") - F.col("shared")))
-            .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+    return track((verified
+                  .where(F.lit(100) * F.col("shared")
+                         >= F.lit(threshold_pct)
+                         * (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                  .select("doc_a", "doc_b", "shared", "n_a", "n_b")), sets)
 
 
 def dup_clusters(df: DataFrame, n: int = 3, threshold_pct: int = 80,
@@ -265,10 +267,16 @@ def dup_clusters(df: DataFrame, n: int = 3, threshold_pct: int = 80,
     unchanged."""
     from quickner_spark.operators.graph import connected_components
 
+    from quickner_spark.operators.caching import release
+
     pairs = jaccard_pairs_prefix(df, n=n, threshold_pct=threshold_pct,
                                  text_col=text_col, id_col=id_col)
     cc = connected_components(pairs.select("doc_a", "doc_b"),
                               "doc_a", "doc_b")
+    # connected_components materialized the pair list (count / checkpoint),
+    # so the shingle cache behind `pairs` is spent — release it; `cc` no
+    # longer depends on its lineage.
+    release(pairs)
     docs = df.select(F.col(id_col))
     cluster = F.coalesce("component", F.col(id_col))
     return (docs.join(cc.withColumnRenamed("node", id_col), id_col, "left")
@@ -412,11 +420,11 @@ def minhash_dedup(df: DataFrame, n: int = 3, num_hashes: int = 64,
                         .alias("shared"),
                         F.size("sh_a").cast("long").alias("n_a"),
                         F.size("sh_b").cast("long").alias("n_b")))
-    return (verified
-            .where(F.lit(100) * F.col("shared")
-                   >= F.lit(threshold_pct)
-                   * (F.col("n_a") + F.col("n_b") - F.col("shared")))
-            .select("doc_a", "doc_b", "shared", "n_a", "n_b"))
+    return track((verified
+                  .where(F.lit(100) * F.col("shared")
+                         >= F.lit(threshold_pct)
+                         * (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                  .select("doc_a", "doc_b", "shared", "n_a", "n_b")), sets)
 
 
 def repeated_blocks(df: DataFrame, block: int = 16, min_count: int = 2,

@@ -92,6 +92,28 @@ def incremental_kg(pages_stream: DataFrame,
     pipeline's stage-skip resumability)."""
     if writer is None:
         writer = default_batch_writer
+    else:
+        # The writer contract gained batch_id (needed for idempotent
+        # replay); accept legacy writer(df, path) callables for one
+        # release, and fail FAST here — at stream start, with a clear
+        # message — rather than inside foreachBatch on the first
+        # micro-batch, where the TypeError would surface as an opaque
+        # stream failure.
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(writer).parameters)
+        except (TypeError, ValueError):  # builtins/partials without sig
+            n_params = 3
+        if n_params == 2:
+            legacy = writer
+
+            def writer(df: DataFrame, path: str, batch_id: int) -> None:
+                legacy(df, path)
+        elif n_params != 3:
+            raise TypeError(
+                "incremental_kg writer must accept (df, path, batch_id) "
+                f"(or the legacy (df, path)); got {n_params} parameters")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # localCheckpoint: extract and annotate run ONCE even though two

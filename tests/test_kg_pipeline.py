@@ -331,3 +331,61 @@ def test_link_optimized_plan_matches_naive(spark):
         if best:
             exp[(doc_id, start, end)] = (best[1], best[2], round(best[3], 9))
     assert got == exp and len(got) > 20
+
+
+def test_link_empty_alias_table(spark):
+    """An empty alias table must yield an empty, correctly-typed result —
+    not an AnalysisException from a zero-length literal array (the old
+    F.lit([]) vocab produced array<void>)."""
+    from quickner_spark.kg.link import link_mentions
+
+    docs = spark.createDataFrame([("a", "hash only here")],
+                                 "doc_id string, text string")
+    mentions = spark.createDataFrame([("a", 0, 4, "hash")],
+                                     "doc_id string, start long, end long, surface string")
+    empty_al = spark.createDataFrame(
+        [], "alias string, canonical_id string, label string, prior int")
+    out = link_mentions(mentions, docs, empty_al)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "start", "end", "surface", "canonical_id", "label", "score"]
+
+
+def test_link_large_alias_table_plan_builds_fast(spark):
+    """The profile vocabulary must travel as broadcast data, not as a plan
+    literal: with 100k aliases the logical plan (and codegen) stays
+    constant-size, so building + explaining the plan is quick. The old
+    F.lit(vocab) form embedded ~100k strings into the plan tree."""
+    import time
+
+    from quickner_spark.kg.link import link_mentions
+
+    big_al = spark.range(100_000).selectExpr(
+        "concat('alias', id) AS alias",
+        "concat('canon_', id, '_tok', id % 997) AS canonical_id",
+        "'ORG' AS label", "CAST(10 AS INT) AS prior")
+    docs = spark.createDataFrame([("a", "alias1 and canon text")],
+                                 "doc_id string, text string")
+    mentions = spark.createDataFrame([("a", 0, 6, "alias1")],
+                                     "doc_id string, start long, end long, surface string")
+    t0 = time.monotonic()
+    out = link_mentions(mentions, docs, big_al)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    build_s = time.monotonic() - t0
+    assert build_s < 20, f"plan build took {build_s:.1f}s (plan bloat?)"
+    # the vocabulary must NOT appear inline in the optimized plan
+    assert "canon_99999" not in plan
+    assert out.count() == 1
+
+
+def test_bucket_mode_table_unknown_stage_raises_value_error(spark, tmp_path):
+    """In bucket mode, table() on a name that is not a pipeline stage must
+    raise a ValueError naming the valid stages — not a bare StopIteration
+    (which turns into RuntimeError inside generators)."""
+    from quickner_spark.kg.pipeline import Pipeline, Stage
+
+    p = Pipeline(spark, str(tmp_path / "vt"),
+                 [Stage("extract", lambda s, c: None)],
+                 bucket=("url", 4), table_prefix="vt")
+    with pytest.raises(ValueError, match="unknown stage 'tyops'.*extract"):
+        p.table("tyops")

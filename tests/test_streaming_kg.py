@@ -89,3 +89,34 @@ def test_default_writer_replay_is_idempotent(spark, tmp_path):
     got = sorted((r["k"], r["v"], r["batch_id"])
                  for r in spark.read.parquet(path).collect())
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+
+
+def test_legacy_two_arg_writer_adapted(spark, crawl_batches, tmp_path):
+    """writer(df, path) callables from before the batch_id contract must
+    still work (adapted at call time), and a wrong arity must fail fast at
+    incremental_kg() time, not inside the first micro-batch."""
+    src, full = crawl_batches
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, 7)
+    calls = []
+
+    def legacy_writer(df, path):
+        calls.append(path)
+        df.write.mode("append").parquet(path)
+
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = incremental_kg(stream, gaz, corpus.PREDICATES,
+                       str(tmp_path / "m"), str(tmp_path / "t"),
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       writer=legacy_writer)
+    q.awaitTermination(180)
+    assert calls and all(p.endswith(("m", "t")) for p in calls)
+    bm, _ = kg_batch_increment(full, gaz, corpus.PREDICATES)
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert got == {tuple(r) for r in bm.collect()}
+
+    with pytest.raises(TypeError, match="writer must accept"):
+        incremental_kg(stream, gaz, corpus.PREDICATES,
+                       str(tmp_path / "m2"), str(tmp_path / "t2"),
+                       checkpoint_dir=str(tmp_path / "ckpt2"),
+                       writer=lambda df: None)

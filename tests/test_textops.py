@@ -142,3 +142,37 @@ def test_jaccard_prefix_equals_full_join(docs):
         full = sorted(map(tuple, tx.jaccard_pairs(docs, 3, pct).collect()))
         pref = sorted(map(tuple, tx.jaccard_pairs_prefix(docs, 3, pct).collect()))
         assert pref == full, pct
+
+
+def test_scoped_caches_are_releasable(spark, docs):
+    """Operators that cache intermediates must expose them via the
+    track/release contract so a long-lived session does not accumulate
+    executor storage: after release() (or the operators' internal release,
+    for dup_clusters/canonicalize) no persistent RDDs remain."""
+    from quickner_spark.operators.caching import release
+    from quickner_spark.operators import textops as tx
+
+    spark.catalog.clearCache()  # drop cache entries left by earlier tests
+    docs.count()  # re-materialize the fixture's own cache before baselining
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+
+    out = tx.minhash_dedup(docs)
+    out.count()
+    release(out)
+    assert sc.getPersistentRDDs().size() == base
+
+    out = tx.jaccard_pairs_prefix(docs)
+    out.count()
+    release(out)
+    assert sc.getPersistentRDDs().size() == base
+
+    # dup_clusters / canonicalize release their own intermediates
+    tx.dup_clusters(docs).count()
+    assert sc.getPersistentRDDs().size() == base
+
+    from quickner_spark.kg.canonicalize import canonicalize_aliases
+    al = spark.createDataFrame([("acme inc",), ("acme incorporated",),
+                                ("zeta corp",)], "alias string")
+    canonicalize_aliases(al).count()
+    assert sc.getPersistentRDDs().size() == base
