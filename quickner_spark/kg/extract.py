@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import html as html_mod
 import re
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["extract_text", "extract_stage"]
+__all__ = ["extract_text", "extract_stage", "extract_annotate_stage"]
 
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 
@@ -52,3 +52,55 @@ def extract_stage(pages: DataFrame, html_col: str = "html",
 
     return pages.select(url_col, html_col).mapInPandas(
         gen, f"{url_col} string, text string")
+
+
+def extract_annotate_stage(pages: DataFrame,
+                           entities: Sequence[tuple[str, str]],
+                           html_col: str = "html", url_col: str = "url",
+                           case_sensitive: bool = False,
+                           backend: str = "auto") -> DataFrame:
+    """FUSED extract + annotate: pages(url, html, ...) ->
+    (url, text, spans array<struct<start, end, label, surface>>) in ONE
+    Arrow-batched Python pass.
+
+    Rationale (the 100 TB bandwidth argument): run separately, the text
+    corpus crosses the JVM<->Python Arrow boundary three times (extract
+    out, annotate in, plus a parquet write+read between the stages); fused,
+    the extracted text is matched while it is still a Python string, so
+    the corpus crosses ONCE and the inter-stage parquet hop disappears.
+    On a shared-memory box (and on bandwidth-bound executors) this is the
+    difference that scales — the matcher compute itself parallelizes
+    either way.
+
+    Spans are produced by the SAME broadcast automaton + boundary cascade
+    as ``operators.annotate.annotate_mentions`` (lowercase handling
+    included: surfaces are sliced from the lowered text), so
+    ``explode(spans)`` is row-identical to running annotate_mentions over
+    the extract output — pinned by tests/test_kg_pipeline.py."""
+    from quickner_spark.matcher import get_matcher
+
+    ents = tuple(entities)
+    bc = pages.sparkSession.sparkContext.broadcast(ents)
+    lower = not case_sensitive
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = get_matcher(bc.value, backend)
+        find = matcher.find_spans
+        for pdf in batches:
+            texts, spans = [], []
+            for h in pdf[html_col].values:
+                text = extract_text(h)
+                texts.append(text)
+                if text is None:
+                    spans.append([])
+                    continue
+                t = text.lower() if lower else text
+                spans.append([(s, e, lab, t[s:e]) for s, e, lab in find(t)])
+            yield pd.DataFrame({url_col: pdf[url_col],
+                                "text": texts, "spans": spans})
+
+    return pages.select(url_col, html_col).mapInPandas(
+        gen,
+        f"{url_col} string, text string, "
+        "spans array<struct<start: long, end: long, "
+        "label: string, surface: string>>")

@@ -279,13 +279,22 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       predicates: tuple[str, ...],
                       catalog: str | None = None,
                       bucket: tuple[str, int] | None = None,
-                      table_prefix: str = "kg") -> Pipeline:
+                      table_prefix: str = "kg",
+                      fuse: bool = True) -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
     directories; ``bucket=("url", N)``: bucketed session-catalog tables
-    for exchange-free downstream doc-keyed joins (see ``Pipeline``)."""
+    for exchange-free downstream doc-keyed joins (see ``Pipeline``).
+
+    ``fuse=True`` (default): extract and annotate run as ONE Arrow-batched
+    Python pass (``extract_annotate_stage``) — the extract table carries a
+    ``spans`` array column and the mentions stage reduces to a JVM-only
+    explode, so the text corpus crosses the JVM<->Python boundary once
+    instead of three times and the inter-stage parquet hop of the text
+    disappears. ``fuse=False`` restores the separate stages (row-identical
+    output; pinned by tests)."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
-    from quickner_spark.kg.extract import extract_stage
+    from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
     from quickner_spark.kg.triples import pattern_triples
     from quickner_spark.operators.annotate import (annotate_mentions,
@@ -296,11 +305,19 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
 
     def s_extract(spark, ctx):
         pages = spark.read.parquet(pages_path)
+        if fuse:
+            return extract_annotate_stage(pages, gaz)
         return extract_stage(pages)
 
     def s_mentions(spark, ctx):
-        texts = ctx["pipeline"].table("extract")
-        return annotate_mentions(texts, gaz, id_col="url", text_col="text")
+        ext = ctx["pipeline"].table("extract")
+        if fuse:
+            return (ext.select("url", F.explode("spans").alias("m"))
+                    .select("url", F.col("m.start").alias("start"),
+                            F.col("m.end").alias("end"),
+                            F.col("m.label").alias("label"),
+                            F.col("m.surface").alias("surface")))
+        return annotate_mentions(ext, gaz, id_col="url", text_col="text")
 
     def s_linked(spark, ctx):
         p = ctx["pipeline"]

@@ -389,3 +389,21 @@ def test_bucket_mode_table_unknown_stage_raises_value_error(spark, tmp_path):
                  bucket=("url", 4), table_prefix="vt")
     with pytest.raises(ValueError, match="unknown stage 'tyops'.*extract"):
         p.table("tyops")
+
+
+def test_fused_extract_annotate_row_identical(spark, pages_path, pipe,
+                                              tmp_path):
+    """fuse=False (separate extract + annotate stages) must produce
+    row-identical mentions/extract-text/triples to the fused default —
+    the fused pass is a bandwidth optimization, never a semantic change."""
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    p2 = build_kg_pipeline(spark, str(tmp_path / "unfused"), pages_path,
+                           gaz, corpus.PREDICATES, fuse=False)
+    p2.run()
+    for st, cols in (("extract", ["url", "text"]),
+                     ("mentions", None), ("triples", None), ("edges", None)):
+        a_df, b_df = pipe.table(st), p2.table(st)
+        sel = cols or sorted(set(a_df.columns) & set(b_df.columns))
+        a = {tuple(r) for r in a_df.select(*sel).collect()}
+        b = {tuple(r) for r in b_df.select(*sel).collect()}
+        assert a == b, st
