@@ -39,15 +39,20 @@ def extract_text(html: bytes) -> str | None:
 
 
 def extract_stage(pages: DataFrame, html_col: str = "html",
-                  url_col: str = "url") -> DataFrame:
+                  url_col: str = "url", extractor=None) -> DataFrame:
     """pages(url, html, ...) -> (url, text). Narrow map, no shuffle; only
     (url, html) columns are read (column pruning drops the rest at the
-    scan)."""
+    scan). ``extractor``: any deterministic ``bytes -> str | None``
+    (default :func:`extract_text`, the synthetic-corpus inverse; pass
+    ``kg.webextract.extract_text_web`` for real-web boilerplate-aware
+    extraction — same contract, pinned by tests)."""
+    extractor = extractor or extract_text
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 url_col: pdf[url_col],
-                "text": [extract_text(h) for h in pdf[html_col].values],
+                "text": [extractor(h) for h in pdf[html_col].values],
             })
 
     return pages.select(url_col, html_col).mapInPandas(
@@ -58,7 +63,8 @@ def extract_annotate_stage(pages: DataFrame,
                            entities: Sequence[tuple[str, str]],
                            html_col: str = "html", url_col: str = "url",
                            case_sensitive: bool = False,
-                           backend: str = "auto") -> DataFrame:
+                           backend: str = "auto",
+                           extractor=None) -> DataFrame:
     """FUSED extract + annotate: pages(url, html, ...) ->
     (url, text, spans array<struct<start, end, label, surface>>) in ONE
     Arrow-batched Python pass.
@@ -82,6 +88,7 @@ def extract_annotate_stage(pages: DataFrame,
     ents = tuple(entities)
     bc = pages.sparkSession.sparkContext.broadcast(ents)
     lower = not case_sensitive
+    extractor = extractor or extract_text
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = get_matcher(bc.value, backend)
@@ -89,7 +96,7 @@ def extract_annotate_stage(pages: DataFrame,
         for pdf in batches:
             texts, spans = [], []
             for h in pdf[html_col].values:
-                text = extract_text(h)
+                text = extractor(h)
                 texts.append(text)
                 if text is None:
                     spans.append([])

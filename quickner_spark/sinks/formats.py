@@ -65,7 +65,8 @@ def jsonl_lines(df: DataFrame) -> DataFrame:
         .alias("label"))).alias("value"))
 
 
-def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = (),
+                max_spans: int | None = None) -> DataFrame:
     """K5 distributed path: one row per document whose ``value`` is the
     document's whole CoNLL block (token\\tlabel lines; ``.write.text``
     appends the final newline, yielding the blank separator line). Entirely
@@ -77,24 +78,49 @@ def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     substring (later spans overwrite), all others "O".
 
     ``keep_cols``: pass-through columns (e.g. a doc id) carried next to
-    ``value`` — useful for keyed comparisons or partitioned writes."""
+    ``value`` — useful for keyed comparisons or partitioned writes.
+
+    Cost bound: the tag fold is O(words x spans) PER DOCUMENT (each span
+    rewrites the whole tag array) — linear for real corpora (spans <<
+    words), quadratic only on adversarial span-dense documents. For
+    untrusted input set ``max_spans``: spans beyond the first
+    ``max_spans`` (in the caller's sort order — (start, end, label) by
+    convention) are dropped from tagging, bounding per-document work at
+    O(words x max_spans); the same drop-the-degenerate-tail philosophy as
+    the LSH ``max_bucket`` cap. Default None tags every span."""
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    label_src = F.coalesce("label", F.array())
+    if max_spans is not None:
+        label_src = F.slice(label_src, 1, max_spans)
     d = df.select(*keep_cols, "text",
-                  F.coalesce("label", F.array()).alias("label"),
+                  label_src.alias("label"),
                   words.alias("words"))
+    # Hit positions are precomputed into the AGGREGATE'S INPUT array —
+    # evaluated exactly once per row regardless of how Catalyst collapses
+    # projections (the same guarantee _minhash_sig relies on). The naive
+    # formulation put the O(words) word scan inside the per-element
+    # zip_with lambda, re-evaluating it per (span x word): O(spans x
+    # words^2) interpreted HOF work, ~30 s for ONE 200-word/200-span
+    # document. This shape is O(spans x words) string work in the input +
+    # O(spans x words) integer compares in the fold.
+    hit_pos = F.transform(
+        F.col("label"),
+        lambda sp: F.struct(
+            F.array_position(
+                F.transform(F.col("words"),
+                            lambda w: w.contains(F.col("text").substr(
+                                sp["start"] + 1, sp["end"] - sp["start"]))),
+                F.lit(True)).alias("hit"),
+            sp["label"].alias("lab")))
     idx_arr = F.sequence(F.lit(1), F.size("words").cast("long"))
-
-    def apply_span(acc, sp):
-        surface = F.col("text").substr(sp["start"] + 1, sp["end"] - sp["start"])
-        hit = F.array_position(
-            F.transform(F.col("words"), lambda w: w.contains(surface)),
-            F.lit(True))
-        return F.zip_with(acc, idx_arr,
-                          lambda t, i: F.when(i == hit, sp["label"]).otherwise(t))
-
-    tags = F.aggregate(F.col("label"),
-                       F.transform(F.col("words"), lambda w: F.lit("O")),
-                       apply_span)
+    # left-to-right fold over spans, LATER SPANS OVERWRITE — identical
+    # semantics to applying spans in order onto a tag array
+    tags = F.aggregate(
+        hit_pos,
+        F.transform(F.col("words"), lambda w: F.lit("O")),
+        lambda acc, h: F.zip_with(
+            acc, idx_arr,
+            lambda t, i: F.when(i == h["hit"], h["lab"]).otherwise(t)))
     lines = F.concat_ws(
         "\n", F.zip_with(F.col("words"), tags,
                          lambda w, t: F.concat_ws("\t", w, t)))

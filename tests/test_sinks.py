@@ -144,3 +144,36 @@ def test_numpy_export(processed):
     assert arr.shape[0] == 5
     assert arr[0][1] == TEXTS[0].lower()
     assert list(arr[0][2][0]) == [0, 4, "PL"]
+
+
+def test_conll_lines_span_dense_doc_bounded(spark):
+    """Planted worst case: one document whose span list is as long as its
+    word list (the O(words x spans) quadratic regime). max_spans bounds
+    the fold to O(words x max_spans); the capped output must equal
+    tagging only the first max_spans spans, and complete quickly."""
+    import time
+
+    from quickner_spark.sinks.formats import conll_lines
+
+    n = 1500
+    text = " ".join(f"w{i:04d}" for i in range(n))
+    spans = []
+    pos = 0
+    for i in range(n):
+        spans.append((pos, pos + 5, f"L{i % 7}"))
+        pos += 6
+    df = spark.createDataFrame(
+        [("d0", text, spans)],
+        "doc_id string, text string, "
+        "label array<struct<start:int, end:int, label:string>>")
+    t0 = time.monotonic()
+    out = conll_lines(df, keep_cols=("doc_id",), max_spans=100).collect()
+    capped_s = time.monotonic() - t0
+    assert capped_s < 30, f"capped fold took {capped_s:.1f}s"
+    lines = out[0]["value"].rstrip("\n").split("\n")
+    assert len(lines) == n
+    # first 100 spans tagged, the degenerate tail dropped
+    assert lines[0] == "w0000\tL0"
+    assert lines[99] == "w0099\tL1"
+    assert lines[100] == "w0100\tO"
+    assert all(l.endswith("\tO") for l in lines[100:])
