@@ -34,9 +34,19 @@ __all__ = ["Stage", "Pipeline", "build_kg_pipeline"]
 
 @dataclass
 class Stage:
+    """``bucket_output``: in bucket mode, whether this stage's output table
+    is worth bucketing+bucket-sorting on the pipeline key. Only stages whose
+    CONSUMERS join on the key should pay the write-time sort — in the KG
+    build that is extract and mentions (read by the url-keyed SMJs in
+    linked/triples). The linked/triples outputs are never joined on url
+    downstream, and bucket-sorting them is a pure-cost sort of the two
+    largest tables in the pipeline (measured: the linked write sorts 229M
+    rows at 3.2M pages for zero downstream benefit)."""
+
     name: str
     fn: Callable[[SparkSession, dict], DataFrame]
     partition_by: tuple[str, ...] = ()
+    bucket_output: bool = True
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -136,7 +146,7 @@ class Pipeline:
         schema = self.spark.read.parquet(data).schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                         for f in schema.fields)
-        if key in schema.fieldNames():
+        if stage.bucket_output and key in schema.fieldNames():
             spec = f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n} BUCKETS"
             self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET {spec} "
                            f"LOCATION '{data}'")
@@ -164,7 +174,7 @@ class Pipeline:
             key, n = self.bucket
             w = (df.write.mode("overwrite")
                  .option("path", self._data_path(stage.name)))
-            if key in df.columns:
+            if stage.bucket_output and key in df.columns:
                 # bucket on the join key; skip the label/pred partitioning
                 # — combining both multiplies files AND adds a per-task
                 # sort over (partition, bucket), which doubled the mention
@@ -366,11 +376,17 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     # partition layout: mention/triple tables by label/pred (low-cardinality,
     # prunable); with an Iceberg catalog these become
     # writeTo(...).partitionedBy(bucket(N, "url"), "pred").
+    # bucket_output: only extract and mentions are re-joined on url
+    # downstream (linked's SMJ, maximal_mentions' self-anti-join); the
+    # linked/triples outputs are consumed by surface-/alias-keyed joins
+    # and aggregates, so bucket-sorting them on url would sort the two
+    # largest tables in the pipeline for zero benefit.
     return Pipeline(spark, base_dir, [
         Stage("extract", s_extract),
         Stage("mentions", s_mentions, partition_by=("label",)),
-        Stage("linked", s_linked),
-        Stage("triples", s_triples, partition_by=("pred",)),
+        Stage("linked", s_linked, bucket_output=False),
+        Stage("triples", s_triples, partition_by=("pred",),
+              bucket_output=False),
         Stage("aliases", s_aliases),
         Stage("nodes", s_nodes),
         Stage("edges", s_edges, partition_by=("pred",)),

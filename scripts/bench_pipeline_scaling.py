@@ -45,7 +45,7 @@ print("generated")
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", code], check=True,
-                   capture_output=True, text=True, timeout=1200)
+                   capture_output=True, text=True, timeout=3600)
 
 
 def _submit(cores: int, out_dir: str) -> dict:
@@ -66,7 +66,8 @@ def _submit(cores: int, out_dir: str) -> dict:
     ]
     if BUCKET:
         cmd += ["--bucket", str(cores * 2)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=int(os.environ.get("PIPE_TIMEOUT", "2400")),
                          env={**os.environ, "PYTHONPATH": REPO})
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:

@@ -48,6 +48,9 @@ def main() -> None:
                     help="bucket count for url-bucketed catalog-table "
                          "stage outputs (0 = plain parquet dirs); "
                          "downstream doc-keyed joins run exchange-free")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="run extract and annotate as separate stages "
+                         "instead of the fused single Arrow pass")
     args = ap.parse_args()
 
     spark = get_spark("quickner-kg-pipeline", cores=args.cores)
@@ -64,7 +67,8 @@ def main() -> None:
     gaz = corpus.synth_gazetteer(args.gazetteer_size, args.seed)
     bucket = ("url", args.bucket) if args.bucket else None
     pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
-                             corpus.PREDICATES, bucket=bucket)
+                             corpus.PREDICATES, bucket=bucket,
+                             fuse=not args.no_fuse)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0

@@ -210,6 +210,18 @@ def test_bucketed_pipeline_equivalent_and_exchange_free(spark, pages_path,
         # metrics still flow through the parquet-footer path
         assert p2.metrics().count() > 0
 
+        # selective bucketing: only stages whose consumers join on url
+        # (extract, mentions) pay the write-time bucket sort; the two
+        # largest outputs (linked, triples) must stay un-bucketed
+        def _is_bucketed(tbl: str) -> bool:
+            rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+            return any(r[0] == "Num Buckets" for r in rows)
+
+        assert _is_bucketed("tbkt_extract")
+        assert _is_bucketed("tbkt_mentions")
+        assert not _is_bucketed("tbkt_linked")
+        assert not _is_bucketed("tbkt_triples")
+
         # fresh-session resume: the in-memory metastore forgets the
         # tables (simulated by dropping them); a rebuilt pipeline must
         # re-register the surviving committed data and skip every stage,
