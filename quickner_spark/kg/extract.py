@@ -82,7 +82,16 @@ def extract_annotate_stage(pages: DataFrame,
     as ``operators.annotate.annotate_mentions`` (lowercase handling
     included: surfaces are sliced from the lowered text), so
     ``explode(spans)`` is row-identical to running annotate_mentions over
-    the extract output — pinned by tests/test_kg_pipeline.py."""
+    the extract output — pinned by tests/test_kg_pipeline.py.
+
+    Each span also carries a ``maximal`` flag — True unless another span
+    of the SAME document strictly contains it (the longest-match rule the
+    ``maximal_mentions`` operator implements as a doc-keyed anti-join).
+    Computed here in-row because the document's spans are all in hand
+    before the explode: an O(k log k) sweep per document replaces a
+    corpus-sized mention×mention anti-join downstream — at 100 TB that
+    join (and the re-sort its output forces on the triples join) simply
+    never exists. Differential-tested against the operator."""
     from quickner_spark.matcher import get_matcher
 
     ents = tuple(entities)
@@ -102,7 +111,10 @@ def extract_annotate_stage(pages: DataFrame,
                     spans.append([])
                     continue
                 t = text.lower() if lower else text
-                spans.append([(s, e, lab, t[s:e]) for s, e, lab in find(t)])
+                found = find(t)
+                flags = _maximal_flags(found)
+                spans.append([(s, e, lab, t[s:e], flags[i])
+                              for i, (s, e, lab) in enumerate(found)])
             yield pd.DataFrame({url_col: pdf[url_col],
                                 "text": texts, "spans": spans})
 
@@ -110,4 +122,31 @@ def extract_annotate_stage(pages: DataFrame,
         gen,
         f"{url_col} string, text string, "
         "spans array<struct<start: long, end: long, "
-        "label: string, surface: string>>")
+        "label: string, surface: string, maximal: boolean>>")
+
+
+def _maximal_flags(spans) -> list[bool]:
+    """Per-span longest-match flags, replicating ``maximal_mentions``'s
+    anti-join condition exactly: span a is NOT maximal iff some span b of
+    the same document has b.start <= a.start, a.end <= b.end and
+    (b.start, b.end) != (a.start, a.end). Sweep over (start asc, end
+    desc): every prior span has start <= current, so a container exists
+    iff the running max end exceeds the current end, or equals it via a
+    span that started strictly earlier (an identical-interval span — same
+    start AND end, e.g. the same surface under two labels — is not a
+    container, matching the operator)."""
+    k = len(spans)
+    if k <= 1:
+        return [True] * k
+    order = sorted(range(k), key=lambda i: (spans[i][0], -spans[i][1]))
+    flags = [True] * k
+    max_end = -1
+    max_end_first_start = -1
+    for i in order:
+        s, e = spans[i][0], spans[i][1]
+        if e < max_end or (e == max_end and max_end_first_start < s):
+            flags[i] = False
+        if e > max_end:
+            max_end = e
+            max_end_first_start = s
+    return flags

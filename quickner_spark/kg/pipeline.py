@@ -41,12 +41,21 @@ class Stage:
     linked/triples). The linked/triples outputs are never joined on url
     downstream, and bucket-sorting them is a pure-cost sort of the two
     largest tables in the pipeline (measured: the linked write sorts 229M
-    rows at 3.2M pages for zero downstream benefit)."""
+    rows at 3.2M pages for zero downstream benefit).
+
+    ``bucket_sort``: extra SORTED BY columns after the bucket key. The
+    mentions table sorts by (url, start) so the triples stage's
+    (url, obj_start) sort-merge join reads the object side ALREADY
+    ordered — the scan's declared sort order satisfies the join's
+    required ordering via the obj_start = start alias, eliding a
+    corpus-sized sort (declared order must exactly match the written
+    order, so ``_register_bucketed`` re-declares the same columns)."""
 
     name: str
     fn: Callable[[SparkSession, dict], DataFrame]
     partition_by: tuple[str, ...] = ()
     bucket_output: bool = True
+    bucket_sort: tuple[str, ...] = ()
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -90,6 +99,16 @@ class Pipeline:
         self.bucket = bucket
         self.table_prefix = table_prefix
         self.run_id = uuid.uuid4().hex[:12]
+        if bucket:
+            # Expose the bucketed tables' SORTED BY order to the planner
+            # (off by default since Spark 3). Combined with the
+            # one-file-per-bucket write this makes every single-key SMJ
+            # over the stage tables sort-free as well as exchange-free.
+            # Safe session-wide: Spark still verifies one-file-per-bucket
+            # per scan before claiming ordering, and falls back to
+            # inserting the sort otherwise (verified by test).
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
     def path(self, stage_name: str) -> str:
         if self.catalog:
@@ -147,7 +166,9 @@ class Pipeline:
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                         for f in schema.fields)
         if stage.bucket_output and key in schema.fieldNames():
-            spec = f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n} BUCKETS"
+            sort_cols = ", ".join(f"`{c}`" for c in (key, *stage.bucket_sort))
+            spec = (f"CLUSTERED BY (`{key}`) SORTED BY ({sort_cols}) "
+                    f"INTO {n} BUCKETS")
             self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET {spec} "
                            f"LOCATION '{data}'")
         elif stage.partition_by:
@@ -172,16 +193,32 @@ class Pipeline:
             return
         if self.bucket:
             key, n = self.bucket
-            w = (df.write.mode("overwrite")
-                 .option("path", self._data_path(stage.name)))
             if stage.bucket_output and key in df.columns:
                 # bucket on the join key; skip the label/pred partitioning
                 # — combining both multiplies files AND adds a per-task
                 # sort over (partition, bucket), which doubled the mention
                 # write. Low-cardinality column pruning still comes from
                 # parquet row-group predicate pushdown.
-                w = w.bucketBy(n, key).sortBy(key)
-            elif stage.partition_by:
+                #
+                # ONE FILE PER BUCKET: repartition on the bucket key so
+                # each writer task holds exactly one bucket (repartition
+                # hash == bucket hash). Spark only exposes a bucketed
+                # table's SORTED BY order to the planner when every bucket
+                # is a single file — multi-file buckets (16 tasks × 32
+                # buckets = 512 files) forced every downstream sort-merge
+                # join to RE-SORT the corpus-sized mention table it had
+                # just sorted at write time. When the stage input is
+                # itself this bucketed layout the planner elides the
+                # exchange, which is only correct if it keeps the scan
+                # bucket-aligned — hence autoBucketedScan=false in run().
+                (df.repartition(n, F.col(key)).write.mode("overwrite")
+                 .option("path", self._data_path(stage.name))
+                 .bucketBy(n, key).sortBy(key, *stage.bucket_sort)
+                 .saveAsTable(out))
+                return
+            w = (df.write.mode("overwrite")
+                 .option("path", self._data_path(stage.name)))
+            if stage.partition_by:
                 w = w.partitionBy(*stage.partition_by)
             w.saveAsTable(out)
             return
@@ -261,6 +298,15 @@ class Pipeline:
         ``pipeline`` for reading upstream tables."""
         ctx = dict(ctx or {})
         ctx["pipeline"] = self
+        if self.bucket:
+            # the one-file-per-bucket write relies on the writer's input
+            # tasks being bucket-aligned. When a stage's input is itself a
+            # bucketed table the planner elides the repartition exchange —
+            # correct only if the scan it keeps is the BUCKETED scan, not
+            # the size-split file scan autoBucketedScan would relax it to.
+            self.spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
         status: dict[str, str] = {}
         for stage in self.stages:
             out = self.path(stage.name)
@@ -326,7 +372,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                     .select("url", F.col("m.start").alias("start"),
                             F.col("m.end").alias("end"),
                             F.col("m.label").alias("label"),
-                            F.col("m.surface").alias("surface")))
+                            F.col("m.surface").alias("surface"),
+                            F.col("m.maximal").alias("maximal")))
         return annotate_mentions(ext, gaz, id_col="url", text_col="text")
 
     def s_linked(spark, ctx):
@@ -339,8 +386,16 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         p = ctx["pipeline"]
         # longest-match resolution first: truncated overlapping mentions
         # ('acme systems' inside 'acme systems works') must not become
-        # truncated triple arguments.
-        maximal = maximal_mentions(p.table("mentions"), id_col="url")
+        # truncated triple arguments. The fused annotate stage computed
+        # the flag in-row on each document's span array, so resolution is
+        # a scan-level FILTER that keeps the table's (url, start) sort
+        # order — the corpus-sized anti-join (and the re-sort it forced
+        # on the triples object side) only runs on the unfused path.
+        m = p.table("mentions")
+        if "maximal" in m.columns:
+            maximal = m.where(F.col("maximal")).drop("maximal")
+        else:
+            maximal = maximal_mentions(m, id_col="url")
         return pattern_triples(maximal, p.table("extract"),
                                predicates, id_col="url")
 
@@ -354,24 +409,38 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         p = ctx["pipeline"]
         # node key = the alias-cluster canonical (amap), NOT the link-stage
         # candidate id — project linked down so the names can't collide.
-        linked = p.table("linked").select("surface", "label")
+        #
+        # Pre-aggregate to (surface, label) counts FIRST: the partial
+        # (map-side) aggregate collapses the corpus-sized linked table to
+        # ~|gazetteer| rows with count-only state and no per-row join
+        # probe, and everything downstream — the alias join and the
+        # canonical regroup — runs on hundreds of rows. Measured 7x over
+        # join-then-aggregate at 114.7M linked rows (12.3 s -> 1.7 s at
+        # 16 cores); output identical (weighted sum == per-row count).
+        stats = (p.table("linked").groupBy("surface", "label")
+                 .agg(F.count("*").alias("__n")))
         amap = p.table("aliases")
-        return (linked.join(amap, linked["surface"] == amap["alias"])
+        return (stats.join(amap, stats["surface"] == amap["alias"])
                 .groupBy("canonical_id")
                 .agg(F.min("label").alias("label"),
                      F.sort_array(F.collect_set("surface")).alias("aliases"),
-                     F.count("*").alias("n_mentions")))
+                     F.sum("__n").alias("n_mentions")))
 
     def s_edges(spark, ctx):
         p = ctx["pipeline"]
-        t = p.table("triples")
+        # same pre-aggregation shape as s_nodes: collapse the triples
+        # table to (subj, pred, obj) counts map-side, then join the tiny
+        # alias map and re-aggregate on canonical ids — the broadcast
+        # joins probe thousands of rows instead of the full triple table.
+        t = (p.table("triples").groupBy("subj", "pred", "obj")
+             .agg(F.count("*").alias("__n")))
         amap = p.table("aliases")
         subj_map = amap.selectExpr("alias as subj", "canonical_id as src")
         obj_map = amap.selectExpr("alias as obj", "canonical_id as dst")
         return (t.join(F.broadcast(subj_map), "subj")
                 .join(F.broadcast(obj_map), "obj")
                 .groupBy("src", "dst", "pred")
-                .agg(F.count("*").alias("weight")))
+                .agg(F.sum("__n").alias("weight")))
 
     # partition layout: mention/triple tables by label/pred (low-cardinality,
     # prunable); with an Iceberg catalog these become
@@ -383,7 +452,10 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     # largest tables in the pipeline for zero benefit.
     return Pipeline(spark, base_dir, [
         Stage("extract", s_extract),
-        Stage("mentions", s_mentions, partition_by=("label",)),
+        # (url, start) sort order feeds the triples join's object side
+        # pre-sorted (obj_start aliases start) — see Stage.bucket_sort
+        Stage("mentions", s_mentions, partition_by=("label",),
+              bucket_sort=("start",)),
         Stage("linked", s_linked, bucket_output=False),
         Stage("triples", s_triples, partition_by=("pred",),
               bucket_output=False),

@@ -200,13 +200,39 @@ def test_bucketed_pipeline_equivalent_and_exchange_free(spark, pages_path,
             a = {tuple(r) for r in pipe.table(st).select(*cols).collect()}
             b = {tuple(r) for r in p2.table(st).select(*cols).collect()}
             assert a == b, st
-        mm = maximal_mentions(p2.table("mentions"), id_col="url")
+        # operator-composition plan (anti-join form) stays exchange-free
+        mm = maximal_mentions(p2.table("mentions").drop("maximal"),
+                              id_col="url")
         tr = pattern_triples(mm, p2.table("extract"), corpus.PREDICATES,
                              id_col="url")
         tr.collect()
         plan = tr._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 0, plan
         assert "Bucketed: true" in plan
+
+        # ONE FILE PER BUCKET: the write repartitions on the bucket key so
+        # the table's SORTED BY order is visible to the planner (Spark
+        # ignores bucket sort order when a bucket spans several files).
+        import glob as _glob
+        import re as _re
+        for st in ("extract", "mentions"):
+            files = _glob.glob(str(tmp_path / "bkt" / st / "*.parquet"))
+            assert len(files) == 4, (st, files)
+
+        # the PIPELINE-shaped triples plan (in-row maximal flag -> filter,
+        # no anti-join) reads every url-keyed SMJ side pre-sorted: the
+        # only Sort in the whole plan is the candidate side of the
+        # (url, obj_start) join — the object side's (url, start) bucket
+        # sort satisfies that ordering through the obj_start alias.
+        tr2 = pattern_triples(
+            p2.table("mentions").where("maximal").drop("maximal"),
+            p2.table("extract"), corpus.PREDICATES, id_col="url")
+        tr2.collect()
+        plan2 = tr2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange hashpartitioning") == 0, plan2
+        final = plan2.split("== Initial Plan ==")[0]
+        n_sorts = len(_re.findall(r"\bSort \[", final))
+        assert n_sorts == 1, final
         # metrics still flow through the parquet-footer path
         assert p2.metrics().count() > 0
 
@@ -419,3 +445,14 @@ def test_fused_extract_annotate_row_identical(spark, pages_path, pipe,
         a = {tuple(r) for r in a_df.select(*sel).collect()}
         b = {tuple(r) for r in b_df.select(*sel).collect()}
         assert a == b, st
+
+    # the fused stage's in-row maximal flag must equal the anti-join
+    # operator's longest-match decision exactly
+    cols5 = ["url", "start", "end", "label", "surface"]
+    from quickner_spark.operators.annotate import maximal_mentions
+    flagged = {tuple(r) for r in pipe.table("mentions")
+               .where("maximal").select(*cols5).collect()}
+    op = {tuple(r) for r in
+          maximal_mentions(p2.table("mentions"), id_col="url")
+          .select(*cols5).collect()}
+    assert flagged == op

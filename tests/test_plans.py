@@ -77,9 +77,17 @@ def test_triples_joins_on_doc_key(spark):
     df = E.q12_triples(spark, SF)
     plan = _optimized(df)
     assert "Join" in plan
-    # predicate connective table is broadcast (tiny)
     ex = _executed(df)
-    assert "Broadcast" in ex
+    # the predicate test is IN-ROW (array literal + transform/filter),
+    # BEFORE any mention-mention join — no mention x predicate fan-out
+    # relation ever reaches a join input, and both corpus-sized joins are
+    # sort-merge (broadcasting either side is a serial driver
+    # collect+hash that cannot scale and OOMs at corpus scale)
+    assert ex.count("SortMergeJoin") >= 2, ex
+    assert "BroadcastHashJoin" not in ex, ex
+    assert "CartesianProduct" not in ex
+    assert "filter(transform(" in plan, \
+        "predicate literals must be evaluated in-row, not joined"
 
 
 def test_jaccard_no_cartesian(spark):
