@@ -64,7 +64,8 @@ def extract_annotate_stage(pages: DataFrame,
                            html_col: str = "html", url_col: str = "url",
                            case_sensitive: bool = False,
                            backend: str = "auto",
-                           extractor=None) -> DataFrame:
+                           extractor=None,
+                           window: int = 0) -> DataFrame:
     """FUSED extract + annotate: pages(url, html, ...) ->
     (url, text, spans array<struct<start, end, label, surface>>) in ONE
     Arrow-batched Python pass.
@@ -91,7 +92,19 @@ def extract_annotate_stage(pages: DataFrame,
     before the explode: an O(k log k) sweep per document replaces a
     corpus-sized mention×mention anti-join downstream — at 100 TB that
     join (and the re-sort its output forces on the triples join) simply
-    never exists. Differential-tested against the operator."""
+    never exists. Differential-tested against the operator.
+
+    ``window > 0`` additionally emits per span a ``nxt`` column: the
+    ``window`` characters of (matcher-cased) text following the span.
+    Python string slicing is O(window) — fixed-width char array — so
+    this costs nothing here, but it lets the triples stage test its
+    connective predicates as a plain ``startswith`` on a 16-char column
+    INSTEAD of joining the document text back onto every mention and
+    seeking into a ~1 KB string per mention×predicate (a JVM
+    ``substring`` re-scans the UTF-8 bytes up to the offset — measured
+    as the triples stage's dominant cost). Pass
+    ``window = max(len(p) for p in predicates) + 2`` (the two framing
+    spaces)."""
     from quickner_spark.matcher import get_matcher
 
     ents = tuple(entities)
@@ -113,16 +126,22 @@ def extract_annotate_stage(pages: DataFrame,
                 t = text.lower() if lower else text
                 found = find(t)
                 flags = _maximal_flags(found)
-                spans.append([(s, e, lab, t[s:e], flags[i])
-                              for i, (s, e, lab) in enumerate(found)])
+                if window:
+                    spans.append([
+                        (s, e, lab, t[s:e], flags[i], t[e:e + window])
+                        for i, (s, e, lab) in enumerate(found)])
+                else:
+                    spans.append([(s, e, lab, t[s:e], flags[i])
+                                  for i, (s, e, lab) in enumerate(found)])
             yield pd.DataFrame({url_col: pdf[url_col],
                                 "text": texts, "spans": spans})
 
+    nxt = ", nxt: string" if window else ""
     return pages.select(url_col, html_col).mapInPandas(
         gen,
         f"{url_col} string, text string, "
         "spans array<struct<start: long, end: long, "
-        "label: string, surface: string, maximal: boolean>>")
+        f"label: string, surface: string, maximal: boolean{nxt}>>")
 
 
 def _maximal_flags(spans) -> list[bool]:

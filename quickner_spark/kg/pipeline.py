@@ -352,17 +352,19 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
-    from quickner_spark.kg.triples import pattern_triples
+    from quickner_spark.kg.triples import pattern_triples, window_triples
     from quickner_spark.operators.annotate import (annotate_mentions,
                                                    maximal_mentions,
                                                    normalize_gazetteer)
 
     gaz = normalize_gazetteer(gazetteer, case_sensitive=False)
+    # post-span text window: predicate token + the two framing spaces
+    pred_window = (max(len(p) for p in predicates) + 2) if predicates else 0
 
     def s_extract(spark, ctx):
         pages = spark.read.parquet(pages_path)
         if fuse:
-            return extract_annotate_stage(pages, gaz)
+            return extract_annotate_stage(pages, gaz, window=pred_window)
         return extract_stage(pages)
 
     def s_mentions(spark, ctx):
@@ -373,7 +375,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                             F.col("m.end").alias("end"),
                             F.col("m.label").alias("label"),
                             F.col("m.surface").alias("surface"),
-                            F.col("m.maximal").alias("maximal")))
+                            F.col("m.maximal").alias("maximal"),
+                            F.col("m.nxt").alias("nxt")))
         return annotate_mentions(ext, gaz, id_col="url", text_col="text")
 
     def s_linked(spark, ctx):
@@ -391,11 +394,16 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         # a scan-level FILTER that keeps the table's (url, start) sort
         # order — the corpus-sized anti-join (and the re-sort it forced
         # on the triples object side) only runs on the unfused path.
+        # With the fused `nxt` window column the predicate test runs on
+        # the mention row itself (window_triples): the triples stage
+        # never joins or seeks the document text at all.
         m = p.table("mentions")
         if "maximal" in m.columns:
             maximal = m.where(F.col("maximal")).drop("maximal")
         else:
             maximal = maximal_mentions(m, id_col="url")
+        if "nxt" in maximal.columns:
+            return window_triples(maximal, predicates, id_col="url")
         return pattern_triples(maximal, p.table("extract"),
                                predicates, id_col="url")
 

@@ -5,14 +5,21 @@ over annotated sentences. The engine primitive is a *mention-pair pattern
 join*: two mentions of the same document linked by a predicate expression
 that must match the text between them.
 
-Plan shape: subj mentions join their document text on the doc key (single
-sort-merge join, both sides pre-sorted when read from the url-bucketed
-stage tables) -> the predicate test runs IN-ROW per subj against all
-|preds| literals and the text is dropped in the same projection -> the
-surviving slim candidates equi-join mentions on (doc_id, expected object
-offset). No mention×predicate fan-out ever reaches a join input (the old
-formulation sorted |preds|×|mentions| rows — 459M at 1.6M pages — for the
-mention-mention join), and no per-document mention² cross product exists.
+Two physical forms, identical output (differential-tested):
+
+* :func:`window_triples` — the pipeline's scale path. The fused annotate
+  stage ships each mention with ``nxt``, the few characters of text after
+  the span, so the predicate test is a plain ``startswith`` on a 16-char
+  column and NO document text is ever joined or seeked: one slim
+  sort-merge join total.
+* :func:`pattern_triples` — the generic form over bare (mentions,
+  documents) tables: subj mentions join their document text on the doc
+  key, one windowed slice per mention feeds the in-row predicate test,
+  then the surviving candidates equi-join mentions on (doc, expected
+  object offset). No mention×predicate fan-out ever reaches a join input
+  (the round-2 formulation sorted |preds|×|mentions| rows — 459M at 1.6M
+  pages — for the mention-mention join), and no per-document mention²
+  cross product exists.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["adjacent_pattern_triples", "pattern_triples"]
+__all__ = ["adjacent_pattern_triples", "pattern_triples", "window_triples"]
 
 
 def adjacent_pattern_triples(*args, **kwargs) -> DataFrame:
@@ -30,6 +37,68 @@ def adjacent_pattern_triples(*args, **kwargs) -> DataFrame:
     returns (doc_id, subj, pred, obj, subj_start, obj_start); provenance
     columns keep triple-level P/R auditable per doc/url."""
     return pattern_triples(*args, **kwargs)
+
+
+def _pred_probe(predicates: Sequence[str], window_col: str):
+    """array<struct<pred, plen, ok>> testing every predicate literal
+    against the post-span text window. `` pred `` prefix == the reference
+    condition (space at span end, predicate token, space after). All plain
+    codegen-able expressions — higher-order functions (transform/filter)
+    drop the whole projection to interpreted evaluation, measured 2x+ the
+    stage wall on the corpus-sized candidate scan."""
+    return F.array(*[
+        F.struct(F.lit(p).alias("pred"), F.lit(len(p)).alias("plen"),
+                 F.col(window_col).startswith(f" {p} ").alias("ok"))
+        for p in predicates])
+
+
+def _candidate_join(cand: DataFrame, m2: DataFrame, id_col: str) -> DataFrame:
+    """(subj, pred, expected obj offset) candidates ⋈ mentions.
+
+    Pinned to sort-merge: both sides are corpus-sized, compressed-parquet
+    stats under-estimate them, and Spark would otherwise broadcast the
+    mention table (serial driver collect+hash — cannot scale with cores,
+    OOMs at corpus scale). The mention side reads (url, start)-sorted
+    from the bucketed stage table, satisfying the (url, obj_start) join
+    ordering through the alias — only the smaller candidate side sorts."""
+    return (cand.join(m2.hint("merge"), ["__id", "obj_start"])
+            .select(F.col("__id").alias(id_col),
+                    "subj", "pred", "obj",
+                    F.col("subj_start").cast("long").alias("subj_start"),
+                    F.col("obj_start").cast("long").alias("obj_start")))
+
+
+def window_triples(
+    mentions: DataFrame,
+    predicates: Sequence[str],
+    id_col: str = "doc_id",
+    window_col: str = "nxt",
+) -> DataFrame:
+    """Triples from mentions that carry their own post-span text window
+    (``extract_annotate_stage(window=...)``): the connective test never
+    touches the document table. The window must be at least
+    ``max(len(p)) + 2`` characters (the two framing spaces) — the
+    pipeline derives it from the same predicates tuple.
+
+    Scale shape: zero document join, zero text seek. The only corpus-
+    sized work is one slim explode+filter scan over mentions and the
+    (doc, offset) sort-merge join of :func:`_candidate_join`."""
+    m2 = mentions.select(F.col(id_col).alias("__id"),
+                         F.col("start").alias("obj_start"),
+                         F.col("surface").alias("obj"))
+    cand = (mentions
+            .select(F.col(id_col).alias("__id"),
+                    F.col("start").alias("subj_start"),
+                    F.col("end").alias("subj_end"),
+                    F.col("surface").alias("subj"),
+                    F.explode(_pred_probe(predicates, window_col))
+                    .alias("__p"))
+            .where(F.col("__p.ok"))
+            .select("__id", "subj_start", "subj",
+                    F.col("__p.pred").alias("pred"),
+                    (F.col("subj_end") + 2
+                     + F.col("__p.plen")).alias("obj_start")))
+    return _candidate_join(cand, m2, id_col)
 
 
 def pattern_triples(
@@ -45,6 +114,20 @@ def pattern_triples(
     A triple fires when ``text[subj.end] == ' '``, the predicate token
     occupies ``text[subj.end+1 : subj.end+1+len(pred)]``, followed by one
     space, and the object mention starts exactly after it.
+
+    Plan shape (in join-cost order):
+
+    1. subj mentions join their document's text on the doc key alone — a
+       single-key sort-merge join; both sides read pre-sorted from the
+       url-bucketed stage tables (zero exchange, zero sort).
+    2. ONE ``substring`` per mention slices the post-span window (a JVM
+       substring seeks the UTF-8 bytes up to the offset, so it must run
+       once per mention, not once per mention×predicate — measured as
+       the stage's dominant cost), the text is dropped in the same
+       projection, and every predicate literal tests against the tiny
+       window with a codegen-able ``startswith``.
+    3. The surviving slim candidates equi-join mentions on (doc, exact
+       expected object offset) — see :func:`_candidate_join`.
     """
     m1 = mentions.select(F.col(id_col).alias("__id"),
                          F.col("start").alias("subj_start"),
@@ -55,61 +138,16 @@ def pattern_triples(
                          F.col("surface").alias("obj"))
     text = F.lower(F.col(text_col)) if lower_text else F.col(text_col)
     docs = documents.select(F.col(id_col).alias("__id"), text.alias("__text"))
-    # Plan shape (in join-cost order):
-    #
-    # 1. subj mentions join their document's text on the doc key alone —
-    #    a single-key sort-merge join both of whose sides read PRE-SORTED
-    #    from the url-bucketed stage tables (zero exchange, zero sort).
-    # 2. The predicate test runs IN-ROW against that text, BEFORE any
-    #    mention-mention join: each subj row checks all |preds| literals
-    #    (space, predicate token, space after subj.end) and keeps only
-    #    textual hits. The doc text is dropped in the same projection, so
-    #    the surviving candidate rows are slim (id, offsets, subj, pred).
-    #    The earlier formulation fanned every mention out |preds| ways
-    #    FIRST (459M rows at 1.6M pages) and sorted that for the
-    #    mention-mention join — the whole fan-out now never exists as
-    #    join input; only text-confirmed candidates do.
-    # 3. The (doc, exact expected object offset) equi-join against the
-    #    mention table picks out object mentions. Its right side reads
-    #    (url, start)-sorted from the bucketed table, which satisfies the
-    #    (url, obj_start) join ordering through the alias — only the
-    #    (much smaller) candidate side sorts.
-    #
-    # Both corpus-sized joins are pinned to sort-merge: compressed-parquet
-    # stats under-estimate them and Spark would otherwise broadcast the
-    # full mention/document table (serial driver collect+hash — measured
-    # as the stage's dominant, non-scaling cost; OOM at corpus scale).
-    preds_lit = F.array(*[
-        F.struct(F.lit(p).alias("pred"), F.lit(len(p)).alias("plen"))
-        for p in predicates])
-
-    def textual_hit(c):
-        # text[subj_end] == ' ', then the predicate token, then ' '
-        # (1-based substr, identical tests to the reference formulation)
-        return ((F.col("__text").substr(F.col("subj_end") + 1, F.lit(1))
-                 == F.lit(" "))
-                & (F.col("__text").substr(F.col("subj_end") + 2, c["plen"])
-                   == c["pred"])
-                & (F.col("__text").substr(
-                    F.col("subj_end") + c["plen"] + 2, F.lit(1))
-                   == F.lit(" ")))
-
-    hits = F.filter(
-        F.transform(preds_lit,
-                    lambda c: F.struct(c["pred"].alias("pred"),
-                                       c["plen"].alias("plen"),
-                                       textual_hit(c).alias("ok"))),
-        lambda s: s["ok"])
+    width = max(len(p) for p in predicates) + 2 if predicates else 2
     cand = (m1.join(docs.hint("merge"), "__id")
             .select("__id", "subj_start", "subj_end", "subj",
-                    F.explode(hits).alias("__p"))
-            .withColumn("obj_start",
-                        F.col("subj_end") + 2 + F.col("__p.plen"))
+                    F.col("__text").substr(F.col("subj_end") + 1,
+                                           F.lit(width)).alias("__w"))
+            .select("__id", "subj_start", "subj_end", "subj",
+                    F.explode(_pred_probe(predicates, "__w")).alias("__p"))
+            .where(F.col("__p.ok"))
             .select("__id", "subj_start", "subj",
-                    F.col("__p.pred").alias("pred"), "obj_start"))
-    out = (cand.join(m2.hint("merge"), ["__id", "obj_start"])
-           .select(F.col("__id").alias(id_col),
-                   "subj", "pred", "obj",
-                   F.col("subj_start").cast("long").alias("subj_start"),
-                   F.col("obj_start").cast("long").alias("obj_start")))
-    return out
+                    F.col("__p.pred").alias("pred"),
+                    (F.col("subj_end") + 2
+                     + F.col("__p.plen")).alias("obj_start")))
+    return _candidate_join(cand, m2, id_col)

@@ -456,3 +456,14 @@ def test_fused_extract_annotate_row_identical(spark, pages_path, pipe,
           maximal_mentions(p2.table("mentions"), id_col="url")
           .select(*cols5).collect()}
     assert flagged == op
+
+    # the nxt-window predicate test (no document join) must produce the
+    # same triples as the generic text-joining operator
+    from quickner_spark.kg.triples import pattern_triples, window_triples
+    mx = pipe.table("mentions").where("maximal")
+    wt = {tuple(r) for r in
+          window_triples(mx, corpus.PREDICATES, id_col="url").collect()}
+    pt = {tuple(r) for r in
+          pattern_triples(mx.drop("maximal", "nxt"), pipe.table("extract"),
+                          corpus.PREDICATES, id_col="url").collect()}
+    assert wt == pt and len(wt) > 0

@@ -78,16 +78,19 @@ def test_triples_joins_on_doc_key(spark):
     plan = _optimized(df)
     assert "Join" in plan
     ex = _executed(df)
-    # the predicate test is IN-ROW (array literal + transform/filter),
-    # BEFORE any mention-mention join — no mention x predicate fan-out
-    # relation ever reaches a join input, and both corpus-sized joins are
-    # sort-merge (broadcasting either side is a serial driver
-    # collect+hash that cannot scale and OOMs at corpus scale)
+    # the predicate test is IN-ROW (codegen-able literal array + explode
+    # + filter — NOT higher-order functions, which drop the projection to
+    # interpreted evaluation), BEFORE any mention-mention join — no
+    # mention x predicate fan-out relation ever reaches a join input, and
+    # both corpus-sized joins are sort-merge (broadcasting either side is
+    # a serial driver collect+hash that cannot scale and OOMs at corpus
+    # scale)
     assert ex.count("SortMergeJoin") >= 2, ex
     assert "BroadcastHashJoin" not in ex, ex
     assert "CartesianProduct" not in ex
-    assert "filter(transform(" in plan, \
-        "predicate literals must be evaluated in-row, not joined"
+    assert "StartsWith" in plan or "startswith" in plan, plan
+    assert "transform(" not in plan, \
+        "higher-order functions are interpreted — keep the probe codegen-able"
 
 
 def test_jaccard_no_cartesian(spark):
