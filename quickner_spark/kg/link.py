@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["alias_table_from_gazetteer", "link_mentions"]
 
+# bundle width up to which the per-alias candidate argmax is unrolled
+# into codegen-able greatest() slots (see link_mentions)
+_UNROLL_MAX = 8
+
 
 def alias_table_from_gazetteer(spark, gazetteer, extra_aliases=None) -> DataFrame:
     """Candidate table (alias, canonical_id, label, prior). Canonical id =
@@ -113,17 +117,37 @@ def link_mentions(mentions: DataFrame, documents: DataFrame,
         return F.log1p(c["prior"]) + F.size(
             F.array_intersect(F.col("__doc_toks"), c["__toks"]))
 
-    # in-row argmax replicating max_by(struct(canonical, label, score),
-    # struct(score, canonical)) — max score, ties to max canonical_id.
-    # array_max over (score, canonical, label) structs is lexicographic on
-    # exactly that ordering, and evaluates score ONCE per candidate (a
-    # fold with the comparison inside a when() would re-evaluate the
-    # intersection per branch — measured 2-3x the compute).
-    best = F.array_max(F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(score(c).cast("double").alias("score"),
-                           c["canonical_id"].alias("canonical_id"),
-                           c["label"].alias("label"))))
+    def scored(c):
+        # (score, canonical, label) struct — lexicographic max on exactly
+        # the argmax ordering: max score, ties to max canonical_id.
+        return F.struct(score(c).cast("double").alias("score"),
+                        c["canonical_id"].alias("canonical_id"),
+                        c["label"].alias("label"))
+
+    # In-row argmax over the candidate bundle. Two forms:
+    #
+    # * k <= _UNROLL_MAX (always, for real alias tables — the max bundle
+    #   width is the number of canonical entities sharing one alias):
+    #   the bundle is UNROLLED into k fixed slots and the winner is
+    #   ``greatest(slot_0, ..., slot_{k-1})`` (greatest skips the NULL
+    #   slots of shorter bundles). Every expression here — getItem,
+    #   array_intersect, log1p, struct, greatest — is whole-stage
+    #   codegen-able. The previous transform+array_max formulation was a
+    #   higher-order function, which drops the WHOLE projection
+    #   (including the per-row intersections) to interpreted evaluation
+    #   over the corpus-sized mention table — the same engine fact that
+    #   dominated the triples stage.
+    # * pathological bundles (k > _UNROLL_MAX aliases pointing at many
+    #   canonicals): fall back to the HOF form — correctness over speed.
+    #
+    # Computing k is one count job over the broadcast-sized alias table.
+    k = (cand_tbl.agg(F.max(F.size("__cands"))).collect()[0][0]) or 1
+    if k <= _UNROLL_MAX:
+        slots = [F.when(F.size("__cands") > i, scored(F.col("__cands")[i]))
+                 for i in range(k)]
+        best = slots[0] if k == 1 else F.greatest(*slots)
+    else:
+        best = F.array_max(F.transform(F.col("__cands"), scored))
     return (j.withColumn("__b", best)
             .select(id_col, "start", "end", "surface",
                     F.col("__b.canonical_id").alias("canonical_id"),

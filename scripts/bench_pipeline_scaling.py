@@ -59,6 +59,11 @@ def _submit(cores: int, out_dir: str) -> dict:
         # cluster executors each bring their own local disks, one box does
         # not — shuffle spill on tmpfs models per-executor storage.
         "--conf", f"spark.local.dir={os.environ.get('PIPE_SPARK_TMP', '/tmp')}",
+        # PIPE_CONF="k=v;k2=v2" — extra spark confs for A/B runs (e.g.
+        # compression codecs: on a bandwidth-bound box smaller bytes in
+        # flight trade CPU the wide leg has for bus traffic it doesn't)
+        *[x for kv in os.environ.get("PIPE_CONF", "").split(";") if kv
+          for x in ("--conf", kv)],
         "--py-files", ZIP,
         os.path.join(REPO, "scripts", "run_kg_pipeline.py"),
         "--pages", os.path.join(BASE, "pages"),
