@@ -31,7 +31,7 @@ from quickner_spark.operators import textops as tx
 from quickner_spark.operators import simsearch as ss
 from quickner_spark.operators.graph import connected_components
 from quickner_spark.operators import events as ev
-from quickner_spark.kg.triples import pattern_triples
+from quickner_spark.kg.triples import pattern_triples, window_triples
 from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
 from quickner_spark.operators.hashing import (
     MIX_M, MIX_P, minhash_mix_constants)
@@ -457,6 +457,29 @@ def q34_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dup_clusters(_docs(spark, sf_dir), n=3, threshold_pct=80)
 
 
+def q35_window_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple extraction via the per-mention text WINDOW (the pipeline's
+    scale path, kg/triples.py::window_triples): each mention carries
+    ``nxt`` — the max(len(pred))+2 characters after the span — and the
+    connective test is a codegen-able ``startswith`` on that column, so
+    the triple join never touches the document table. In the KG pipeline
+    the fused annotate stage emits ``nxt`` for free (an O(1)-indexed
+    Python slice); here it is attached relationally so the oracle can
+    restate the identical window in SQL. Results are definitionally
+    equal to q12 (pattern_triples) — the driver gate proving BOTH forms
+    hash-exact against independent oracles pins the rewrite."""
+    docs = _docs(spark, sf_dir)
+    m = _mentions(spark, sf_dir)
+    width = max(len(p) for p in PREDICATES) + 2
+    mw = (m.join(docs.select("doc_id",
+                             F.lower("text").alias("__t")).hint("merge"),
+                 "doc_id")
+          .withColumn("nxt", F.col("__t").substr(F.col("end") + 1,
+                                                 F.lit(width)))
+          .drop("__t"))
+    return window_triples(mw, PREDICATES)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -498,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_conll_export": q32_conll_export,
         "q33_brat_export": q33_brat_export,
         "q34_dup_clusters": q34_dup_clusters,
+        "q35_window_triples": q35_window_triples,
     }
 
 
@@ -551,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
     filt = VALID_FILTERS.duckdb_predicate("text")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     pred_values = ", ".join(f"('{p}')" for p in PREDICATES)
+    win = max(len(p) for p in PREDICATES) + 2
     probe_list = ", ".join(str(p) for p in KNN_PROBES)
     mh_a, mh_b = minhash_mix_constants(64)
     mh_a_lit = "[" + ", ".join(str(x) for x in mh_a) + "]"
@@ -1024,6 +1049,24 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        coalesce(c.component, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+        # q35: the window restatement of q12 — mentions carry their
+        # post-span text window, the connective is a startswith on it,
+        # and the document table never appears in the triple join
+        "q35_window_triples": f"""
+WITH {cte},
+preds(pred) AS (VALUES {pred_values}),
+mw AS (
+  SELECT m.*, substring(d.text, CAST(m."end" AS INT) + 1, {win}) AS nxt
+  FROM mentions m JOIN d ON d.doc_id = m.doc_id
+)
+SELECT m1.doc_id, m1.surface AS subj, p.pred, m2.surface AS obj,
+       m1."start" AS subj_start, m2."start" AS obj_start
+FROM mw m1
+CROSS JOIN preds p
+JOIN mentions m2 ON m2.doc_id = m1.doc_id
+ AND m2."start" = m1."end" + 2 + length(p.pred)
+WHERE starts_with(m1.nxt, ' ' || p.pred || ' ')
 """,
     }
 
