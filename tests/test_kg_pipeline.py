@@ -467,3 +467,39 @@ def test_fused_extract_annotate_row_identical(spark, pages_path, pipe,
           pattern_triples(mx.drop("maximal", "nxt"), pipe.table("extract"),
                           corpus.PREDICATES, id_col="url").collect()}
     assert wt == pt and len(wt) > 0
+
+
+def test_maximal_flags_property():
+    """The O(k log k) sweep must replicate the anti-join containment rule
+    exactly, including the identical-interval edge (same (start, end)
+    under two labels is NOT a container). Differential vs the O(k^2)
+    literal restatement of maximal_mentions' join condition."""
+    from hypothesis import given, settings, strategies as st
+
+    from quickner_spark.kg.extract import _maximal_flags
+
+    def brute(spans):
+        out = []
+        for i, (s, e, _) in enumerate(spans):
+            contained = any(
+                bs <= s and e <= be and (bs != s or be != e)
+                for j, (bs, be, _) in enumerate(spans) if j != i)
+            out.append(not contained)
+        return out
+
+    span = st.tuples(st.integers(0, 30), st.integers(1, 15), st.just("L")) \
+        .map(lambda t: (t[0], t[0] + t[1], t[2]))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(span, max_size=12))
+    def check(spans):
+        assert _maximal_flags(spans) == brute(spans)
+
+    check()
+
+    # pinned edges: identical intervals keep each other; equal-end with
+    # earlier start contains; equal-start longer contains
+    assert _maximal_flags([(0, 5, "A"), (0, 5, "B")]) == [True, True]
+    assert _maximal_flags([(2, 5, "A"), (0, 5, "B")]) == [False, True]
+    assert _maximal_flags([(0, 5, "A"), (0, 3, "B")]) == [True, False]
+    assert _maximal_flags([(0, 3, "A"), (2, 5, "B")]) == [True, True]
