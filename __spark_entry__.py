@@ -297,18 +297,20 @@ def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF cells (deterministic seeded k-means
-    quantizer, nprobe probing). Deliberately rows-only — the one query
-    without a SQL oracle: restating 2 Lloyd iterations relationally would
-    need float MEANS whose cross-engine summation order is not defined
-    (unlike the integer-exact tricks used for q14/q15/q16/q31), so a
-    recursive-CTE oracle would be flaky by construction, not evidence.
-    Correctness is instead pinned in tests/test_simsearch.py: recall vs
-    exact cosine on clustered data + determinism across runs."""
+    """Approximate top-k via IVF cells, PORTABLE mode (the last query to
+    gain a full oracle): md5-seeded coarse quantizer whose Lloyd updates
+    produce INTEGER centroids — ``floor(double(Σx·res)/double(n))`` is one
+    exact int64 sum, two exact int→double conversions, one IEEE division
+    and a floor, all bit-deterministic cross-engine — so assignment,
+    probing, candidates AND the quantized-cosine scores restate exactly
+    in DuckDB. This closes the float-MEAN summation-order gap that kept
+    q24 rows-only through round 3. Production default stays xxhash64 +
+    float64 centroids (recall/determinism pinned in
+    tests/test_simsearch.py)."""
     out = ss.ivf_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
-                      nlist=16, nprobe=4, iters=2)
+                      nlist=16, nprobe=4, iters=2, hash_family="portable")
     return out.select("probe_id", "neighbor_id",
-                      F.col("rank").cast("long").alias("rank"))
+                      F.col("rank").cast("long").alias("rank"), "cosine")
 
 
 def q25_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +487,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_mentions(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Production-configuration twins. Five queries run in the PORTABLE (md5)
+# hash family above solely so the DuckDB oracle can reproduce them
+# bit-for-bit; production deployments run xxhash64 (JVM intrinsic) and, for
+# IVF, float64 centroids. bench.py measures THESE, so the benchmark tracks
+# what production executes instead of silently absorbing the md5 tax the
+# round-3 bench did (q15 +166%, q14 +57%); the correctness gate keeps
+# verifying the portable twins in queries().
+# ---------------------------------------------------------------------------
+
+def q14_minhash_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.minhash_dedup(_docs(spark, sf_dir), n=3, num_hashes=64,
+                            bands=16, threshold_pct=80)
+
+
+def q15_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash64(_docs(spark, sf_dir))
+
+
+def q16_lsh_knn_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ss.lsh_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
+                      n_planes=4, n_tables=16)
+    return out.select("probe_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q24_ivf_knn_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ss.ivf_topk(_emb(spark, sf_dir), k=5, probe_ids=KNN_PROBES,
+                      nlist=16, nprobe=4, iters=2)
+    return out.select("probe_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q31_lsh_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.lsh_dup_pairs(_emb(spark, sf_dir), threshold_pct=40,
+                            n_planes=4, n_tables=16)
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Overrides for bench.py: same query names, production hash family.
+    Every other queries() entry already runs its production configuration."""
+    return {
+        "q14_minhash_dedup": q14_minhash_dedup_prod,
+        "q15_simhash": q15_simhash_prod,
+        "q16_lsh_knn": q16_lsh_knn_prod,
+        "q24_ivf_knn": q24_ivf_knn_prod,
+        "q31_lsh_dup_pairs": q31_lsh_dup_pairs_prod,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_mentions": q01_mentions,
@@ -570,6 +622,75 @@ sig AS (SELECT vec_id, tbl,
         FROM proj GROUP BY 1, 2)"""
 
 
+def _ivf_cte(nlist: int, nprobe: int, iters: int, k: int,
+             probe_list: str, seed: int = 42, res: int = 256) -> str:
+    """DuckDB twin of simsearch._ivf_topk_portable: md5 seeding, integer
+    centroids via floor((Σx·res)/n) — exact int64 sums, one IEEE division
+    per component — integer assignment/probing distances, quantized-cosine
+    scoring. Lloyd iterations are UNROLLED (c0 → a0 → c1 → a1 → c2), so
+    the whole quantizer is plain CTEs, no recursion."""
+    parts = [f"""
+v AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      FROM embeddings),
+vexp AS (SELECT vec_id, t.i AS d, q[t.i + 1] AS x
+         FROM v, LATERAL (SELECT unnest(range(len(q))) AS i) t),
+hs AS (SELECT vec_id,
+              ('0x' || substr(md5('ivf:{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       FROM v),
+seeds AS (SELECT vec_id, rn - 1 AS cid FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM hs)
+          WHERE rn <= {nlist}),
+c0 AS (SELECT s.cid, e.d, e.x * {res} AS c
+       FROM seeds s JOIN vexp e USING (vec_id))"""]
+    for it in range(iters):
+        parts.append(f"""
+d{it} AS (SELECT e.vec_id, c.cid,
+          CAST(sum(({res}*e.x - c.c)*({res}*e.x - c.c)) AS BIGINT) AS dist2
+          FROM vexp e JOIN c{it} c USING (d) GROUP BY 1, 2),
+a{it} AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cid) AS rn
+            FROM d{it}) WHERE rn = 1),
+c{it + 1} AS (SELECT a.cid, e.d,
+              CAST(floor(CAST(sum(e.x) * {res} AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+              FROM a{it} a JOIN vexp e USING (vec_id) GROUP BY 1, 2)""")
+    parts.append(f"""
+dfin AS (SELECT e.vec_id, c.cid,
+         CAST(sum(({res}*e.x - c.c)*({res}*e.x - c.c)) AS BIGINT) AS dist2
+         FROM vexp e JOIN c{iters} c USING (d) GROUP BY 1, 2),
+afin AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, cid) AS rn
+           FROM dfin) WHERE rn = 1),
+pcells AS (SELECT vec_id AS probe_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist2, cid) AS rn
+             FROM dfin WHERE vec_id IN ({probe_list}))
+           WHERE rn <= {nprobe}),
+ivf_cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+             FROM pcells p JOIN afin a USING (cid)
+             WHERE a.vec_id <> p.probe_id),
+ivf_nrm AS (SELECT vec_id, q,
+                   CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                                i -> q[i] * q[i])) AS BIGINT) AS n2
+            FROM v),
+ivf_scored AS (
+  SELECT probe_id, neighbor_id,
+         CAST(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                           i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+  FROM ivf_cand
+  JOIN ivf_nrm a ON a.vec_id = probe_id
+  JOIN ivf_nrm b ON b.vec_id = neighbor_id)""")
+    return ",".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _mentions_cte()
     filt = VALID_FILTERS.duckdb_predicate("text")
@@ -581,7 +702,17 @@ def oracle_sql() -> dict[str, str]:
     mh_a_lit = "[" + ", ".join(str(x) for x in mh_a) + "]"
     mh_b_lit = "[" + ", ".join(str(x) for x in mh_b) + "]"
     lsh_cte = _lsh_sig_cte(n_planes=4, n_tables=16, seed=42)
+    ivf_cte = _ivf_cte(nlist=16, nprobe=4, iters=2, k=5,
+                       probe_list=probe_list)
     return {
+        "q24_ivf_knn": f"""
+WITH {ivf_cte}
+SELECT probe_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ivf_scored
+) WHERE rank <= 5
+""",
         "q01_mentions": f"""
 WITH {cte}
 SELECT doc_id, "start", "end", label, surface FROM mentions

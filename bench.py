@@ -8,6 +8,17 @@ Prints ONE JSON line:
 
 Each query is forced with a count() so the measured time covers the whole
 plan execution (scan -> compute -> agg), not plan construction.
+
+Measurement hygiene (round-4 fixes for the round-3 verdict findings):
+* every query runs ``RUNS`` times (default 3, $SPARK_GRAFT_BENCH_RUNS) and
+  the PER-QUERY MEDIAN is reported — BASELINE.md documents a 35-85 s
+  noisy-box band on single runs, and medians make round-over-round
+  comparisons interpretable without band forensics;
+* the PRODUCTION configuration is measured: queries that switch to the
+  md5 "portable" hash family for the DuckDB correctness oracle (q14/q15/
+  q24/...) are benched via ``__spark_entry__.production_queries()``
+  (xxhash64, float64 centroids) so the headline number tracks what
+  production runs, not the oracle's portability tax.
 """
 
 from __future__ import annotations
@@ -49,28 +60,39 @@ HEADLINE = [
 
 
 def main() -> None:
+    from statistics import median
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("quickner-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
-    timings: dict[str, float] = {}
+    # production configuration, not the oracle's portable-hash twins
+    qs = {**E.queries(), **E.production_queries()}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     counts: dict[str, int] = {}
     # warm the JVM/python workers once so q01 doesn't absorb startup cost
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    for name in HEADLINE:
-        t0 = time.time()
-        counts[name] = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for r in range(runs):
+        for name in HEADLINE:
+            t0 = time.time()
+            counts[name] = qs[name](spark, sf_dir).count()
+            samples[name].append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()  # q12/q13 etc. cache mentions per call
+    timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline suite wall time (mention extraction, dedup, "
-                  "similarity, triples, components) at sf" + str(sf),
+                  "similarity, triples, components) at sf" + str(sf)
+                  + f" — per-query medians of {runs} runs, production "
+                  "(xxhash64) configuration",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(n_docs / timings["q01_mentions"], 1),
         "mentions_per_sec": round(counts["q01_mentions"] / timings["q01_mentions"], 1),

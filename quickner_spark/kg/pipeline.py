@@ -22,6 +22,7 @@ The full pipeline::
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from dataclasses import dataclass
@@ -30,6 +31,17 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["Stage", "Pipeline", "build_kg_pipeline"]
+
+# Marker file persisted next to each bucketed stage's committed data,
+# recording the EXACT layout the writer produced (bucket key, N, sort
+# columns). Re-registration after a metastore loss reads this record, not
+# the in-code Stage definition — data written under an older release's
+# sort spec must never be re-declared with today's spec, or the planner
+# (with bucketedTableScan.outputOrdering=true) would trust an ordering the
+# files do not have and elide required sorts in sort-merge joins.
+# Leading underscore: Spark's FileIndex treats the file as hidden, so it
+# never interferes with reading the parquet data in the same directory.
+_SPEC_FILE = "_bucket_spec.json"
 
 
 @dataclass
@@ -63,6 +75,35 @@ def _exists(spark: SparkSession, path: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
     return p.getFileSystem(conf).exists(p)
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Small text file through the Hadoop FS API — works for any scheme
+    (file://, hdfs://, s3a://), same as the data writes themselves."""
+    fs, p = _hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    fs, p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 class Pipeline:
@@ -99,6 +140,18 @@ class Pipeline:
         self.bucket = bucket
         self.table_prefix = table_prefix
         self.run_id = uuid.uuid4().hex[:12]
+        # Bucket mode tunes two SESSION-WIDE confs (outputOrdering here,
+        # autoBucketedScan in run()) and leaves them set, because reads of
+        # the stage tables after run() — pipe.table(...) compositions —
+        # need them for the sort-free/exchange-free plans. This is a
+        # deliberate, documented session leak: both settings stay CORRECT
+        # for unrelated workloads (outputOrdering only claims orderings
+        # Spark re-verifies per scan via the one-file-per-bucket check and
+        # the registered spec, which _register_bucketed ties to the
+        # written data; autoBucketedScan=false is purely a performance
+        # choice). A session that interleaves other bucketed-table work
+        # can undo them with restore_session_confs().
+        self._prior_confs: dict[str, str | None] = {}
         if bucket:
             # Expose the bucketed tables' SORTED BY order to the planner
             # (off by default since Spark 3). Combined with the
@@ -107,8 +160,26 @@ class Pipeline:
             # Safe session-wide: Spark still verifies one-file-per-bucket
             # per scan before claiming ordering, and falls back to
             # inserting the sort otherwise (verified by test).
-            spark.conf.set(
+            self._set_conf(
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    def _set_conf(self, key: str, value: str) -> None:
+        """Set a session conf, remembering the pre-pipeline value once so
+        restore_session_confs() can undo every pipeline-made change."""
+        if key not in self._prior_confs:
+            self._prior_confs[key] = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, value)
+
+    def restore_session_confs(self) -> None:
+        """Undo the session-conf changes this pipeline made (see __init__).
+        Reads of the stage tables after this will be planned with extra
+        sorts/exchanges — correct, just slower."""
+        for key, prior in self._prior_confs.items():
+            if prior is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prior)
+        self._prior_confs = {}
 
     def path(self, stage_name: str) -> str:
         if self.catalog:
@@ -155,21 +226,46 @@ class Pipeline:
     def _register_bucketed(self, stage: Stage) -> None:
         """Re-attach a committed bucketed stage output as an external
         catalog table (new session, default in-memory metastore: the
-        metadata is gone, the data is not). The bucket spec must match
-        the one the data was written with — Spark derives bucket ids
-        from the writer's file-name suffixes, so registering a different
-        N would silently break the exchange-free join guarantee."""
+        metadata is gone, the data is not). The layout is read from the
+        ``_bucket_spec.json`` record the WRITER persisted next to the
+        data, never from the in-code Stage definition: with
+        ``bucketedTableScan.outputOrdering=true`` set session-wide, a
+        declared SORTED BY that the files don't actually satisfy would
+        let sort-merge joins elide required sorts and return silently
+        wrong rows (e.g. resuming over data an older release sorted
+        differently). No record (pre-record data) → register CLUSTERED
+        BY with NO SORTED BY: the planner then inserts sorts — slower,
+        never wrong. A record whose bucket key/N contradicts this
+        pipeline's ``bucket`` raises: Spark derives bucket ids from the
+        writer's file-name suffixes, so a mismatched registration would
+        silently break the exchange-free join guarantee."""
         key, n = self.bucket
         data = self._data_path(stage.name)
         tbl = self.path(stage.name)
+        rec = _read_text(self.spark, f"{data}/{_SPEC_FILE}")
+        spec_rec = json.loads(rec) if rec else None
         schema = self.spark.read.parquet(data).schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                         for f in schema.fields)
-        if stage.bucket_output and key in schema.fieldNames():
-            sort_cols = ", ".join(f"`{c}`" for c in (key, *stage.bucket_sort))
-            spec = (f"CLUSTERED BY (`{key}`) SORTED BY ({sort_cols}) "
-                    f"INTO {n} BUCKETS")
+        if spec_rec is not None and spec_rec.get("bucketed"):
+            if spec_rec["key"] != key or spec_rec["n"] != n:
+                raise ValueError(
+                    f"stage {stage.name!r}: committed data at {data} was "
+                    f"bucketed as ({spec_rec['key']!r}, {spec_rec['n']}) "
+                    f"but this pipeline was built with ({key!r}, {n}); "
+                    "pass the bucket spec the data was written with")
+            sort_cols = ", ".join(f"`{c}`" for c in spec_rec["sort"])
+            spec = (f"CLUSTERED BY (`{spec_rec['key']}`) "
+                    f"SORTED BY ({sort_cols}) INTO {spec_rec['n']} BUCKETS")
             self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET {spec} "
+                           f"LOCATION '{data}'")
+        elif spec_rec is None and stage.bucket_output \
+                and key in schema.fieldNames():
+            # legacy data with no layout record: bucketing is safe to
+            # assume (file names carry the bucket ids and Spark validates
+            # them), the sort order is NOT — declare none
+            self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                           f"CLUSTERED BY (`{key}`) INTO {n} BUCKETS "
                            f"LOCATION '{data}'")
         elif stage.partition_by:
             cols = ", ".join(f"`{c}`" for c in stage.partition_by)
@@ -179,6 +275,25 @@ class Pipeline:
         else:
             self.spark.sql(f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
                            f"LOCATION '{data}'")
+
+    def _has_data_files(self, path: str) -> bool:
+        fs, p = _hadoop_path(self.spark, path)
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    def _ensure_readable(self, df: DataFrame, data_path: str) -> None:
+        """A dynamic-partitioned write of an EMPTY stage output creates no
+        data files at all — the directory commits (_SUCCESS) but cannot be
+        read back (no footer to infer a schema from). Land one footer-only
+        unpartitioned file recording the schema; a root-level file in a
+        partitioned layout is harmless when real partitions appear later
+        (they never do on a committed stage — outputs are immutable)."""
+        if not self._has_data_files(data_path):
+            (self.spark.createDataFrame([], df.schema).repartition(1)
+             .write.mode("append").parquet(data_path))
 
     def _write_stage(self, df: DataFrame, stage: Stage, out: str) -> None:
         """Writer selection: Iceberg v2 ``writeTo`` when a catalog is
@@ -215,17 +330,32 @@ class Pipeline:
                  .option("path", self._data_path(stage.name))
                  .bucketBy(n, key).sortBy(key, *stage.bucket_sort)
                  .saveAsTable(out))
+                # persist the EXACT layout written, so a later session's
+                # re-registration declares what the files really are (see
+                # _register_bucketed) — never today's Stage definition
+                _write_text(
+                    self.spark,
+                    f"{self._data_path(stage.name)}/{_SPEC_FILE}",
+                    json.dumps({"bucketed": True, "key": key, "n": n,
+                                "sort": [key, *stage.bucket_sort]}))
                 return
             w = (df.write.mode("overwrite")
                  .option("path", self._data_path(stage.name)))
             if stage.partition_by:
                 w = w.partitionBy(*stage.partition_by)
             w.saveAsTable(out)
+            if stage.partition_by:
+                self._ensure_readable(df, self._data_path(stage.name))
+            _write_text(self.spark,
+                        f"{self._data_path(stage.name)}/{_SPEC_FILE}",
+                        json.dumps({"bucketed": False}))
             return
         writer = df.write.mode("overwrite")
         if stage.partition_by:
             writer = writer.partitionBy(*stage.partition_by)
         writer.parquet(out)
+        if stage.partition_by:
+            self._ensure_readable(df, out)
 
     def _write_metrics(self, stage: str, out_path: str, wall_ms: int):
         """Per-partition lineage rows from the written files' parquet
@@ -304,7 +434,7 @@ class Pipeline:
             # bucketed table the planner elides the repartition exchange —
             # correct only if the scan it keeps is the BUCKETED scan, not
             # the size-split file scan autoBucketedScan would relax it to.
-            self.spark.conf.set(
+            self._set_conf(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled",
                 "false")
         status: dict[str, str] = {}
@@ -370,13 +500,17 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     def s_mentions(spark, ctx):
         ext = ctx["pipeline"].table("extract")
         if fuse:
+            cols = ["url", F.col("m.start").alias("start"),
+                    F.col("m.end").alias("end"),
+                    F.col("m.label").alias("label"),
+                    F.col("m.surface").alias("surface"),
+                    F.col("m.maximal").alias("maximal")]
+            # the fused extract emits nxt only when there are predicates
+            # (window > 0) — with none, the span struct has no such field
+            if pred_window:
+                cols.append(F.col("m.nxt").alias("nxt"))
             return (ext.select("url", F.explode("spans").alias("m"))
-                    .select("url", F.col("m.start").alias("start"),
-                            F.col("m.end").alias("end"),
-                            F.col("m.label").alias("label"),
-                            F.col("m.surface").alias("surface"),
-                            F.col("m.maximal").alias("maximal"),
-                            F.col("m.nxt").alias("nxt")))
+                    .select(*cols))
         return annotate_mentions(ext, gaz, id_col="url", text_col="text")
 
     def s_linked(spark, ctx):

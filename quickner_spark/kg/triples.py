@@ -52,6 +52,18 @@ def _pred_probe(predicates: Sequence[str], window_col: str):
         for p in predicates])
 
 
+def _empty_triples(mentions: DataFrame, id_col: str) -> DataFrame:
+    """Typed empty result for ``predicates=()`` — no connective can ever
+    match, and ``_pred_probe`` cannot build a zero-element struct array."""
+    id_type = mentions.schema[id_col].dataType.simpleString()
+    empty = mentions.sparkSession.createDataFrame(
+        [], f"{id_col} {id_type}, subj string, pred string, obj string, "
+            "subj_start long, obj_start long")
+    # a 0-partition LocalRelation writes a parquet dir with no part files
+    # (schema-less, unreadable); force one task so the footer lands
+    return empty.repartition(1)
+
+
 def _candidate_join(cand: DataFrame, m2: DataFrame, id_col: str) -> DataFrame:
     """(subj, pred, expected obj offset) candidates ⋈ mentions.
 
@@ -83,6 +95,8 @@ def window_triples(
     Scale shape: zero document join, zero text seek. The only corpus-
     sized work is one slim explode+filter scan over mentions and the
     (doc, offset) sort-merge join of :func:`_candidate_join`."""
+    if not predicates:
+        return _empty_triples(mentions, id_col)
     m2 = mentions.select(F.col(id_col).alias("__id"),
                          F.col("start").alias("obj_start"),
                          F.col("surface").alias("obj"))
@@ -129,6 +143,8 @@ def pattern_triples(
     3. The surviving slim candidates equi-join mentions on (doc, exact
        expected object offset) — see :func:`_candidate_join`.
     """
+    if not predicates:
+        return _empty_triples(mentions, id_col)
     m1 = mentions.select(F.col(id_col).alias("__id"),
                          F.col("start").alias("subj_start"),
                          F.col("end").alias("subj_end"),

@@ -184,9 +184,114 @@ def _assign_cells(v: DataFrame, cdf, id_col: str) -> DataFrame:
                  .alias("cid")))
 
 
+def _assign_cells_int(q: DataFrame, cdf, id_col: str, res: int) -> DataFrame:
+    """Integer-exact cell assignment for the portable IVF mode: vectors
+    are scale-quantized int64, centroids live at ``res``× that scale, so
+    ``dist2 = Σ (res·x_d − c_d)²`` is exact int64 arithmetic — identical
+    on any engine, no float-summation order anywhere. Same min_by shape
+    as :func:`_assign_cells` (map-side partial collapses the nlist
+    candidates before the exchange)."""
+    dist2 = F.aggregate(
+        F.zip_with("q", "c", lambda x, y: (x * res - y) * (x * res - y)),
+        F.lit(0).cast("long"), lambda a, b: a + b)
+    return (q.crossJoin(cdf)
+            .select(id_col, "q", "cid", dist2.alias("dist2"))
+            .groupBy(id_col)
+            .agg(F.first("q").alias("q"),
+                 F.min_by("cid", F.struct(F.col("dist2"), F.col("cid")))
+                 .alias("cid")))
+
+
+def _ivf_topk_portable(df: DataFrame, k: int, probe_ids, nlist: int,
+                       nprobe: int, iters: int, id_col: str, vec_col: str,
+                       scale: int = 1000, res: int = 256,
+                       seed: int = 42) -> DataFrame:
+    """IVF top-k in the PORTABLE hash family — every step restatable
+    bit-for-bit in DuckDB (oracle q24), the same trick q14/q15/q16/q31 use:
+
+    * vectors quantized to int64 at ``scale`` (``_quantize``, exact);
+    * seeds = the ``nlist`` vectors with the smallest
+      ``(portable_hash64('ivf:{seed}:' || vec_id), vec_id)`` — md5-based,
+      no engine-specific hash;
+    * centroids are INTEGERS at ``res``× the vector scale: the Lloyd
+      update is ``c_d = floor(double(Σ x_d · res) / double(n))`` — the
+      int64 sum is exact, the int→double conversions are exact (< 2^53),
+      and one IEEE division + floor is bit-deterministic on any IEEE-754
+      engine. This sidesteps the float-MEAN summation-order problem that
+      makes a naive relational restatement of k-means flaky;
+    * assignment/probing distances are pure int64 (``_assign_cells_int``);
+    * final scoring = the integer-exact quantized cosine of q16 (int64
+      dot and norms, ONE IEEE division per pair).
+
+    Plan shape matches the production path: broadcast centroids, narrow
+    assignment map with map-side argmin, candidates equi-joined on cell
+    id (each vector lives in exactly one cell, so no dedup is needed —
+    unlike LSH a (probe, neighbor) pair cannot recur)."""
+    spark = df.sparkSession
+    q = (df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
+         .cache())
+    seeds = (q.select("q", F.col(id_col),
+                      portable_hash64(F.concat(
+                          F.lit(f"ivf:{seed}:"),
+                          F.col(id_col).cast("string"))).alias("h"))
+             .orderBy("h", id_col).limit(nlist).collect())
+    cents = [(i, [int(x) * res for x in r["q"]])
+             for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            cents, "cid int, c array<long>"))
+        assigned = _assign_cells_int(q, cdf, id_col, res)
+        new = (assigned.select("cid", F.posexplode("q").alias("d", "x"))
+               .groupBy("cid", "d")
+               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+               .select("cid", "d",
+                       F.floor((F.col("s") * res).cast("double")
+                               / F.col("n").cast("double"))
+                       .cast("long").alias("x"))
+               .groupBy("cid")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("d", "x"))),
+                   lambda s: s["x"]).alias("c")))
+        cents = [(r["cid"], list(r["c"])) for r in new.collect()]
+    cdf = F.broadcast(spark.createDataFrame(cents, "cid int, c array<long>"))
+    assigned = _assign_cells_int(q, cdf, id_col, res)
+    probes = assigned.where(F.col(id_col).isin(list(probe_ids)))
+    dist2 = F.aggregate(
+        F.zip_with("pq", "c", lambda x, y: (x * res - y) * (x * res - y)),
+        F.lit(0).cast("long"), lambda a, b: a + b)
+    wp = Window.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    pcells = (probes.select(F.col(id_col).alias("probe_id"),
+                            F.col("q").alias("pq"))
+              .crossJoin(cdf)
+              .select("probe_id", "pq", "cid", dist2.alias("dist2"))
+              .withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select("probe_id", "pq", "cid"))
+    cand = (assigned.join(pcells, "cid")
+            .where(F.col(id_col) != F.col("probe_id"))
+            .select("probe_id", F.col(id_col).alias("neighbor_id"),
+                    "pq", F.col("q").alias("cv")))
+    dot = _int_dot(F.col("pq"), F.col("cv")).cast("double")
+    n2 = lambda c: F.aggregate(F.transform(c, lambda x: x * x),  # noqa: E731
+                               F.lit(0).cast("long"),
+                               lambda acc, x: acc + x).cast("double")
+    scored = cand.select(
+        "probe_id", "neighbor_id",
+        (dot / (F.sqrt(n2(F.col("pq"))) * F.sqrt(n2(F.col("cv")))))
+        .alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("probe_id", "neighbor_id", "rank", "cosine"))
+    q.unpersist(blocking=False)
+    return out
+
+
 def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
              nprobe: int = 4, iters: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             hash_family: str = "xxhash64") -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the second ANN
     scale path next to ``lsh_topk``.
 
@@ -200,7 +305,17 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
     At 100 TB the centroid table stays tiny (nlist ~ sqrt(N) x dim
     doubles, broadcast), the assignment pass is a narrow map over the scan,
     and the candidate join is an equi-join keyed on cell id — per-probe
-    work is ~N * nprobe / nlist instead of N."""
+    work is ~N * nprobe / nlist instead of N.
+
+    ``hash_family="portable"`` switches to the oracle-comparable variant
+    (:func:`_ivf_topk_portable`): md5-seeded, integer centroids, integer
+    distances, quantized-cosine scoring — identical in any ANSI engine.
+    Production default stays xxhash64 + float64."""
+    if hash_family == "portable":
+        return _ivf_topk_portable(df, k, probe_ids, nlist, nprobe, iters,
+                                  id_col, vec_col)
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     spark = df.sparkSession
     v = (df.select(F.col(id_col),
                    F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -102,9 +102,18 @@ def incremental_kg(pages_stream: DataFrame,
         import inspect
 
         try:
-            n_params = len(inspect.signature(writer).parameters)
+            params = list(inspect.signature(writer).parameters.values())
         except (TypeError, ValueError):  # builtins/partials without sig
             n_params = 3
+        else:
+            if any(p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+                   for p in params):
+                # def w(*args) / (**kwargs) / (df, *rest) accepts the full
+                # (df, path, batch_id) contract — counting declared
+                # positionals would wrongly reject it
+                n_params = 3
+            else:
+                n_params = len(params)
         if n_params == 2:
             legacy = writer
 

@@ -503,3 +503,128 @@ def test_maximal_flags_property():
     assert _maximal_flags([(2, 5, "A"), (0, 5, "B")]) == [False, True]
     assert _maximal_flags([(0, 5, "A"), (0, 3, "B")]) == [True, False]
     assert _maximal_flags([(0, 3, "A"), (2, 5, "B")]) == [True, True]
+
+
+def test_empty_predicates_fused_pipeline(spark, pages_path, tmp_path):
+    """build_kg_pipeline(..., predicates=(), fuse=True) must run end to
+    end: at window=0 the fused extract emits no nxt field, the mentions
+    stage must not select it, and the triples stage short-circuits to a
+    typed empty result (no zero-element struct array reaches analysis)."""
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    p = build_kg_pipeline(spark, str(tmp_path / "nopred"), pages_path, gaz,
+                          predicates=(), fuse=True)
+    status = p.run()
+    assert all(v == "ran" for v in status.values()), status
+    m = p.table("mentions")
+    assert m.count() > 0
+    assert "nxt" not in m.columns
+    t = p.table("triples")
+    assert t.count() == 0
+    assert set(t.columns) == {"url", "subj", "pred", "obj",
+                              "subj_start", "obj_start"}
+    # nodes/edges still materialize (edges empty, nodes from linked)
+    assert p.table("nodes").count() > 0
+    assert p.table("edges").count() == 0
+
+
+def test_bucket_spec_record_guards_reregistration(spark, pages_path,
+                                                  tmp_path):
+    """The writer persists the bucket/sort layout next to the committed
+    data; re-registration after a metastore loss must declare the RECORDED
+    spec (not the in-code Stage), fall back to no SORTED BY when the
+    record is absent (legacy data), and refuse a bucket-key/N mismatch."""
+    import json
+    import os
+
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    base = str(tmp_path / "bspec")
+    mk = lambda bucket=("url", 4): build_kg_pipeline(
+        spark, base, pages_path, gaz, corpus.PREDICATES,
+        bucket=bucket, table_prefix="tspec")
+    spec_path = os.path.join(base, "mentions", "_bucket_spec.json")
+    crc_path = os.path.join(base, "mentions", "._bucket_spec.json.crc")
+
+    def drop_crc() -> None:
+        # tampering with plain open() invalidates the Hadoop local-FS
+        # checksum sidecar the writer created — remove it
+        if os.path.exists(crc_path):
+            os.remove(crc_path)
+
+    def sort_cols(tbl: str) -> str:
+        rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        return next((r[1] for r in rows if r[0] == "Sort Columns"), "")
+
+    def drop_all() -> None:
+        for st in ("extract", "mentions", "linked", "triples", "aliases",
+                   "nodes", "edges"):
+            spark.sql(f"DROP TABLE IF EXISTS tspec_{st}")
+
+    try:
+        mk().run()
+        with open(spec_path) as fh:
+            rec = json.load(fh)
+        assert rec == {"bucketed": True, "key": "url", "n": 4,
+                       "sort": ["url", "start"]}
+
+        # (1) data written under an OLDER sort spec (url only): the
+        # re-registration must declare url-only, not today's (url, start)
+        with open(spec_path, "w") as fh:
+            json.dump({"bucketed": True, "key": "url", "n": 4,
+                       "sort": ["url"]}, fh)
+        drop_crc()
+        drop_all()
+        p2 = mk()
+        assert p2.table("mentions").count() > 0  # triggers re-register
+        cols = sort_cols("tspec_mentions")
+        assert "url" in cols and "start" not in cols, cols
+
+        # (2) no record at all (pre-record data): bucketing is declared
+        # (file names carry it), the unknown sort order is NOT
+        os.remove(spec_path)
+        drop_crc()
+        drop_all()
+        p3 = mk()
+        assert p3.table("mentions").count() > 0
+        assert sort_cols("tspec_mentions") in ("", "[]")
+        rows = spark.sql("DESCRIBE EXTENDED tspec_mentions").collect()
+        assert any(r[0] == "Num Buckets" for r in rows)
+
+        # (3) record contradicts this pipeline's bucket spec -> refuse
+        with open(spec_path, "w") as fh:
+            json.dump({"bucketed": True, "key": "url", "n": 8,
+                       "sort": ["url", "start"]}, fh)
+        drop_crc()
+        drop_all()
+        p4 = mk(bucket=("url", 4))
+        with pytest.raises(ValueError, match="bucketed as"):
+            p4.table("mentions")
+    finally:
+        drop_all()
+
+
+def test_restore_session_confs(spark, pages_path, tmp_path):
+    """Bucket mode tunes two session confs and documents the leak; the
+    restore hook must put back the pre-pipeline values (including unset)."""
+    k_ord = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    k_auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior_ord = spark.conf.get(k_ord, None)
+    prior_auto = spark.conf.get(k_auto, None)
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, SEED)
+    p = build_kg_pipeline(spark, str(tmp_path / "cres"), pages_path, gaz,
+                          corpus.PREDICATES, bucket=("url", 4),
+                          table_prefix="tcres")
+    try:
+        p.run()
+        assert spark.conf.get(k_ord) == "true"
+        assert spark.conf.get(k_auto) == "false"
+        p.restore_session_confs()
+        assert spark.conf.get(k_ord, None) == prior_ord
+        assert spark.conf.get(k_auto, None) == prior_auto
+    finally:
+        for st in ("extract", "mentions", "linked", "triples", "aliases",
+                   "nodes", "edges"):
+            spark.sql(f"DROP TABLE IF EXISTS tcres_{st}")
+        if prior_ord is None:
+            spark.conf.unset(k_ord)
+        if prior_auto is None:
+            spark.conf.unset(k_auto)

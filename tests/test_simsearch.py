@@ -167,3 +167,38 @@ def test_lsh_ops_empty_input(spark):
     assert ss.lsh_dup_pairs(empty).count() == 0
     assert ss.lsh_topk(empty, probe_ids=[0]).count() == 0
     assert ss.embedding_dup_pairs(empty).count() == 0
+
+
+def test_ivf_portable_recall_and_determinism(spark):
+    """The PORTABLE IVF (md5 seeds, integer centroids/distances,
+    quantized-cosine scores — the q24 oracle mode) must keep the cell-
+    locality contract on clustered data and be run-to-run deterministic.
+    Clustered fixture mirrors test_ivf_recall_on_clustered_data."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 32))
+    rows = []
+    for i in range(90):
+        c = centers[i % 6]
+        rows.append((i, (c + 0.05 * rng.normal(size=32)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [0, 25, 50]
+    exact = {(r["probe_id"], r["neighbor_id"])
+             for r in ss.cosine_topk(emb, k=5, probe_ids=probes).collect()}
+    a = ss.ivf_topk(emb, k=5, probe_ids=probes, nlist=8, nprobe=2,
+                    iters=2, hash_family="portable").collect()
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in a}
+    assert len(exact & approx) / len(exact) >= 0.9
+    b = ss.ivf_topk(emb, k=5, probe_ids=probes, nlist=8, nprobe=2,
+                    iters=2, hash_family="portable").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # scores are the integer-exact quantized cosine: within float tolerance
+    # of the true cosine on these vectors
+    for r in a:
+        assert -1.01 <= r["cosine"] <= 1.01
+
+
+def test_ivf_unknown_hash_family_raises(emb):
+    with pytest.raises(ValueError, match="hash_family"):
+        ss.ivf_topk(emb, probe_ids=[0], hash_family="nope")

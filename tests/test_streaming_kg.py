@@ -120,3 +120,44 @@ def test_legacy_two_arg_writer_adapted(spark, crawl_batches, tmp_path):
                        str(tmp_path / "m2"), str(tmp_path / "t2"),
                        checkpoint_dir=str(tmp_path / "ckpt2"),
                        writer=lambda df: None)
+
+
+def test_var_positional_writer_accepted(spark, crawl_batches, tmp_path):
+    """A writer declared as def w(*args) (or with **kwargs) satisfies the
+    (df, path, batch_id) contract and must not be rejected by the
+    signature sniffing; partials over 3-arg functions likewise."""
+    import functools
+
+    src, full = crawl_batches
+    gaz = corpus.synth_gazetteer(GAZ_SIZE, 7)
+    seen = []
+
+    def star_writer(*args, **kwargs):
+        df, path, batch_id = args
+        seen.append(batch_id)
+        default_batch_writer(df, path, batch_id)
+
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = incremental_kg(stream, gaz, corpus.PREDICATES,
+                       str(tmp_path / "sm"), str(tmp_path / "st"),
+                       checkpoint_dir=str(tmp_path / "sckpt"),
+                       writer=star_writer)
+    q.awaitTermination(180)
+    assert seen  # the stream actually ran through the star writer
+    bm, _ = kg_batch_increment(full, gaz, corpus.PREDICATES)
+    got = spark.read.parquet(str(tmp_path / "sm")).drop("batch_id")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in bm.collect()}
+
+    # a partial binding one leading arg of a 4-arg fn reports 3 params
+    def tagged_writer(tag, df, path, batch_id):
+        default_batch_writer(df, path, batch_id)
+
+    bound = functools.partial(tagged_writer, "t")
+    # must not raise at wiring time
+    q2 = incremental_kg(stream, gaz, corpus.PREDICATES,
+                        str(tmp_path / "pm"), str(tmp_path / "pt"),
+                        checkpoint_dir=str(tmp_path / "pckpt"),
+                        writer=bound)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "pm")).count() > 0
