@@ -482,6 +482,46 @@ def q35_window_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_triples(mw, PREDICATES)
 
 
+def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents joined with their (start, end, label)-sorted span arrays —
+    the shared input shape of the export sinks (q32/q33/q36/q37)."""
+    m = _mentions(spark, sf_dir)
+    lab = (m.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("start").cast("int").alias("start"),
+               F.col("end").cast("int").alias("end"),
+               F.col("label")))).alias("label")))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.lower("text").alias("text"))
+            .join(lab, "doc_id", "left"))
+
+
+def q36_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 distributed JSONL writer (sinks/formats.py::jsonl_lines,
+    models.rs:80-90): one serde-compact ``{"id":…,"text":"…","label":
+    [[s,e,"L"],…]}`` line per document, offsets unquoted, assembled
+    JVM-side. The oracle restates the byte layout with string
+    concatenation — agreement proves the encoding, not just the writer
+    plumbing."""
+    from quickner_spark.sinks.formats import jsonl_lines
+
+    return jsonl_lines(_labeled_docs(spark, sf_dir)
+                       .withColumnRenamed("doc_id", "id"),
+                       keep_cols=("id",)).withColumnRenamed("id", "doc_id")
+
+
+def q37_spacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 distributed spaCy-envelope writer (sinks/formats.py::
+    spacy_lines, models.rs:57-78): one ``["text",{"entity":[[s,e,"L"],…]}]``
+    element per document — joining rows with "," inside brackets
+    reproduces ``to_spacy``'s single array byte-for-byte (pinned by
+    tests/test_sinks.py)."""
+    from quickner_spark.sinks.formats import spacy_lines
+
+    d = _labeled_docs(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    return spacy_lines(d, keep_cols=("id",)).withColumnRenamed("id", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -574,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_brat_export": q33_brat_export,
         "q34_dup_clusters": q34_dup_clusters,
         "q35_window_triples": q35_window_triples,
+        "q36_jsonl_export": q36_jsonl_export,
+        "q37_spacy_export": q37_spacy_export,
     }
 
 
@@ -1180,6 +1222,37 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        coalesce(c.component, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+        # q36/q37: export byte layouts restated by string concatenation —
+        # the corpus is lowercase [a-z0-9 ] so no JSON escaping can occur
+        # (the engine-side writers DO escape, via to_json; pinned by the
+        # quote/backslash cases in tests/test_sinks.py)
+        "q36_jsonl_export": f"""
+WITH {cte},
+spans AS (
+  SELECT doc_id,
+         string_agg('[' || "start" || ',' || "end" || ',"' || label || '"]',
+                    ',' ORDER BY "start", "end", label) AS sp
+  FROM mentions GROUP BY doc_id
+),
+dt AS (SELECT doc_id, lower(text) AS text FROM documents)
+SELECT dt.doc_id,
+       '{{"id":' || dt.doc_id || ',"text":"' || dt.text || '","label":['
+         || coalesce(sp, '') || ']}}' AS value
+FROM dt LEFT JOIN spans USING (doc_id)
+""",
+        "q37_spacy_export": f"""
+WITH {cte},
+spans AS (
+  SELECT doc_id,
+         string_agg('[' || "start" || ',' || "end" || ',"' || label || '"]',
+                    ',' ORDER BY "start", "end", label) AS sp
+  FROM mentions GROUP BY doc_id
+),
+dt AS (SELECT doc_id, lower(text) AS text FROM documents)
+SELECT dt.doc_id,
+       '["' || dt.text || '",{{"entity":[' || coalesce(sp, '') || ']}}]' AS value
+FROM dt LEFT JOIN spans USING (doc_id)
 """,
         # q35: the window restatement of q12 — mentions carry their
         # post-span text window, the connective is a startswith on it,

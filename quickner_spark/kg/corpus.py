@@ -29,8 +29,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["synth_gazetteer", "synth_pages", "page_html", "PREDICATES",
-           "LABELS"]
+__all__ = ["synth_gazetteer", "synth_pages", "page_html", "page_html_messy",
+           "PREDICATES", "LABELS"]
 
 PREDICATES = ("was created by", "is made by", "works at", "acquired")
 LABELS = ("ORG", "PERSON", "PL", "PRODUCT")
@@ -128,19 +128,62 @@ def page_html(text: str, title: str) -> bytes:
             f"<footer>generated</footer></body></html>").encode("utf-8")
 
 
+def page_html_messy(text: str, title: str, i: int, seed: int = 42) -> bytes:
+    """Real-web-shaped html for the boilerplate-aware extractor
+    (``kg.webextract.extract_text_web``): the content paragraph is buried
+    under deterministic chrome — a nav link bar, two link-farm lists whose
+    anchor text is GAZETTEER ORG NAMES (boilerplate that the extractor
+    must drop, or spurious mentions poison triple precision), inline
+    script/style, and a footer. Every chrome block is either link-dense
+    (anchor chars / chars > 0.5) or short (< 5 alnum words), so the
+    boilerpipe-family classifier rejects it; the content block survives
+    word-for-word, keeping the byte-identical-extraction invariant
+    testable on messy pages too (the synthetic text is single-spaced, so
+    whitespace collapse is the identity on it)."""
+    esc = html_mod.escape
+    r = _h(seed, "chrome", i)
+    nav = " ".join(
+        f'<a href="/s/{(r >> (4 * j)) % 97}">'
+        f'{_FILLER[(r >> (3 * j)) % len(_FILLER)]}</a>'
+        for j in range(6))
+    farm = "".join(
+        f'<li><a href="/t/{j}">{_ORG_A[(r >> j) % len(_ORG_A)]} '
+        f'{_ORG_B[(r >> (j + 2)) % len(_ORG_B)]}</a></li>'
+        for j in range(8))
+    return (
+        f"<html><head><title>{esc(title)}</title>"
+        "<style>body{margin:0;font:14px sans-serif}</style>"
+        f"<script>var pageId={r % 100000};trk();</script></head><body>"
+        f"<nav>{nav}</nav>"
+        f'<div class="sidebar"><ul>{farm}</ul></div>'
+        f"<article><p>{esc(text)}</p></article>"
+        f'<div class="related"><ul>{farm}</ul></div>'
+        '<footer><a href="/about">about</a> | '
+        '<a href="/contact">contact</a> | copyright</footer>'
+        "</body></html>").encode("utf-8")
+
+
 def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 gaz_size: int = 999, partitions: int | None = None,
-                sents_per_page: int = 1) -> DataFrame:
+                sents_per_page: int = 1,
+                html_style: str = "clean") -> DataFrame:
     """Distributed generation of the pages table. Hot-domain skew: domain
     rank chosen Zipf-style, so ~40% of urls land on one domain.
     ``sents_per_page`` > 1 concatenates that many generated pages into one
     heavy page (url/meta keyed on the page index; used by the scaling
     benchmarks to give each row realistic compute weight; default 1 keeps
-    the golden-triples contract byte-identical)."""
+    the golden-triples contract byte-identical).
+    ``html_style="messy"`` wraps the same text in real-web chrome
+    (:func:`page_html_messy`) for the boilerplate-aware extractor path —
+    the ``text`` column (ground truth) is unchanged, so any extractor can
+    be judged against it."""
+    if html_style not in ("clean", "messy"):
+        raise ValueError(f"unknown html_style: {html_style!r}")
     gaz = synth_gazetteer(gaz_size, seed)
     sc_partitions = partitions or max(8, n_docs // 25_000)
     base = spark.range(0, n_docs, 1, sc_partitions)
     spp = sents_per_page
+    messy = html_style == "messy"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         epoch = dt.datetime(2024, 1, 1)
@@ -157,7 +200,8 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 domain = _zipf_pick(_DOMAINS, r)
                 urls.append(f"https://{domain}/doc/{i}")
                 tss.append(epoch + dt.timedelta(seconds=i % 864000))
-                htmls.append(page_html(text, f"doc {i}"))
+                htmls.append(page_html_messy(text, f"doc {i}", i, seed)
+                             if messy else page_html(text, f"doc {i}"))
                 texts.append(text)
                 langs.append(_LANGS[(r >> 8) % len(_LANGS)])
             yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls,

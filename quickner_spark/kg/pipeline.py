@@ -466,7 +466,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       catalog: str | None = None,
                       bucket: tuple[str, int] | None = None,
                       table_prefix: str = "kg",
-                      fuse: bool = True) -> Pipeline:
+                      fuse: bool = True,
+                      extractor=None) -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
     directories; ``bucket=("url", N)``: bucketed session-catalog tables
@@ -478,7 +479,12 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     explode, so the text corpus crosses the JVM<->Python boundary once
     instead of three times and the inter-stage parquet hop of the text
     disappears. ``fuse=False`` restores the separate stages (row-identical
-    output; pinned by tests)."""
+    output; pinned by tests).
+
+    ``extractor``: deterministic ``bytes -> str | None`` for the extract
+    stage (default ``kg.extract.extract_text``, the synthetic-corpus
+    inverse; pass ``kg.webextract.extract_text_web`` for real-web
+    boilerplate-aware extraction — same contract, fused or not)."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -494,8 +500,9 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     def s_extract(spark, ctx):
         pages = spark.read.parquet(pages_path)
         if fuse:
-            return extract_annotate_stage(pages, gaz, window=pred_window)
-        return extract_stage(pages)
+            return extract_annotate_stage(pages, gaz, window=pred_window,
+                                          extractor=extractor)
+        return extract_stage(pages, extractor=extractor)
 
     def s_mentions(spark, ctx):
         ext = ctx["pipeline"].table("extract")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
     "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
-    "conll_lines", "brat_lines",
+    "spacy_lines", "conll_lines", "brat_lines",
 ]
 
 
@@ -56,13 +56,59 @@ def _iter_docs(df: DataFrame) -> Iterator[tuple[str, str, list]]:
         yield row["id"], row["text"], label
 
 
-def jsonl_lines(df: DataFrame) -> DataFrame:
-    """K1 distributed path: one JSON line per document, built JVM-side."""
-    return df.select(F.to_json(F.struct(
-        F.col("id"), F.col("text"),
-        F.transform("label", lambda s: F.array(
-            s["start"].cast("string"), s["end"].cast("string"), s["label"]))
-        .alias("label"))).alias("value"))
+def _json_str(col):
+    """JSON string literal (quoted + escaped) for a string column, JVM-side:
+    wrap in a 1-element array through ``to_json`` and strip the brackets —
+    Jackson applies the same RFC 8259 escapes as ``json.dumps(...,
+    ensure_ascii=False)`` (quotes, backslashes, control chars; raw
+    unicode kept), which is what byte-parity with the driver writers
+    requires. Hand-rolled concat would corrupt any text containing a
+    quote or backslash."""
+    j = F.to_json(F.array(col))
+    return j.substr(F.lit(2), F.length(j) - 2)
+
+
+def jsonl_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """K1 distributed path: one JSON line per document, byte-identical to
+    ``to_jsonl``'s serde-compatible encoding (models.rs:80-90) —
+    ``{"id":…,"text":"…","label":[[s,e,"L"],…]}`` with UNQUOTED integer
+    offsets, built entirely JVM-side by string assembly (``to_json`` alone
+    cannot emit the reference's heterogeneous ``[int, int, str]`` span
+    arrays — a typed Spark array would quote the offsets). A string ``id``
+    is JSON-escaped; numeric ids serialize bare, matching ``json.dumps``.
+    ``keep_cols``: pass-through columns next to ``value``."""
+    sid = df.schema["id"].dataType.simpleString()
+    id_json = (_json_str(F.col("id")) if sid == "string"
+               else F.col("id").cast("string"))
+    spans = F.concat_ws(",", F.transform(
+        F.coalesce("label", F.array()),
+        lambda sp: F.concat(
+            F.lit("["), sp["start"].cast("long").cast("string"), F.lit(","),
+            sp["end"].cast("long").cast("string"), F.lit(","),
+            _json_str(sp["label"]), F.lit("]"))))
+    value = F.concat(F.lit('{"id":'), id_json,
+                     F.lit(',"text":'), _json_str(F.col("text")),
+                     F.lit(',"label":['), spans, F.lit("]}"))
+    return df.select(*keep_cols, value.alias("value"))
+
+
+def spacy_lines(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """K2 distributed path: one spaCy envelope ELEMENT per document —
+    ``["text",{"entity":[[s,e,"L"],…]}]`` (models.rs:57-78, correct
+    spelling) — byte-identical to the elements ``to_spacy`` emits: joining
+    the rows with "," inside "[...]" reproduces the driver writer's single
+    JSON array byte-for-byte (pinned by test). The enclosing array is the
+    only driver-side part; a distributed text sink writes one element per
+    line (JSONL-style spaCy, the form spaCy's own converters accept)."""
+    spans = F.concat_ws(",", F.transform(
+        F.coalesce("label", F.array()),
+        lambda sp: F.concat(
+            F.lit("["), sp["start"].cast("long").cast("string"), F.lit(","),
+            sp["end"].cast("long").cast("string"), F.lit(","),
+            _json_str(sp["label"]), F.lit("]"))))
+    value = F.concat(F.lit("["), _json_str(F.col("text")),
+                     F.lit(',{"entity":['), spans, F.lit("]}]"))
+    return df.select(*keep_cols, value.alias("value"))
 
 
 def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = (),

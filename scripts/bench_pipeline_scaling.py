@@ -10,7 +10,11 @@ end-to-end pipeline's scaling, not just the hot kernel's.
 
 Usage: python scripts/bench_pipeline_scaling.py
 Env: PIPE_DOCS (default 80000), PIPE_LO/PIPE_HI (default 4/16),
-     PIPE_INTERLEAVES (default 2).
+     PIPE_INTERLEAVES (default 2), PIPE_HTML_STYLE=clean|messy and
+     PIPE_EXTRACTOR=synthetic|web (the real-web configuration: messy
+     chrome-wrapped pages + the boilerplate-aware extractor — at real
+     scale the extractor IS the dominant stage, so its cost must be on
+     the scaling record, not just the synthetic inverse's).
 """
 
 from __future__ import annotations
@@ -29,6 +33,8 @@ SENTS = int(os.environ.get("PIPE_SENTS", "12"))
 INTERLEAVES = int(os.environ.get("PIPE_INTERLEAVES", "2"))
 BASE = os.environ.get("PIPE_BASE", "/tmp/quickner_pipe_scaling")
 BUCKET = os.environ.get("PIPE_BUCKET", "") == "1"
+HTML_STYLE = os.environ.get("PIPE_HTML_STYLE", "clean")
+EXTRACTOR = os.environ.get("PIPE_EXTRACTOR", "synthetic")
 ZIP = "/tmp/quickner_spark.zip"
 
 
@@ -40,7 +46,8 @@ from quickner_spark.kg import corpus
 spark = get_spark("pipe-gen", cores=32)
 spark.sparkContext.setLogLevel("ERROR")
 corpus.synth_pages(spark, {N_DOCS}, seed=42, gaz_size=999, partitions=128,
-                   sents_per_page={SENTS}).write.mode("overwrite").parquet({path!r})
+                   sents_per_page={SENTS}, html_style={HTML_STYLE!r}
+                   ).write.mode("overwrite").parquet({path!r})
 print("generated")
 spark.stop()
 """
@@ -68,6 +75,7 @@ def _submit(cores: int, out_dir: str) -> dict:
         os.path.join(REPO, "scripts", "run_kg_pipeline.py"),
         "--pages", os.path.join(BASE, "pages"),
         "--out", out_dir, "--cores", str(cores),
+        "--extractor", EXTRACTOR,
     ]
     if BUCKET:
         cmd += ["--bucket", str(cores * 2)]
@@ -104,6 +112,8 @@ def main() -> None:
     result = {
         "job": "full 7-stage KG pipeline via spark-submit --py-files",
         "n_docs": N_DOCS,
+        "html_style": HTML_STYLE,
+        "extractor": EXTRACTOR,
         f"local{LO}": lo, f"local{HI}": hi,
         "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 2),
         "scaling_efficiency": round(eff, 3),
@@ -111,7 +121,9 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as fh:
         fh.write(
-            f"| FULL PIPELINE{' BUCKETED' if BUCKET else ''} (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
+            f"| FULL PIPELINE{' BUCKETED' if BUCKET else ''}"
+            f"{' WEB-EXTRACTOR (messy html)' if EXTRACTOR == 'web' else ''}"
+            f" (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
             f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s) "
             f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s) "
             f"| speedup {result['speedup']}x "

@@ -6,6 +6,11 @@ row count, column names, and an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified).
 
 Usage: PYTHONPATH=/root/repo python scripts/check_oracle.py [q01 q05 ...]
+
+Env: ORACLE_SF_DIR (default /root/testdata/sf0.01) — the round-4 protocol
+also runs one pass at sf0.1 (the bench scale factor) to catch scale-
+dependent divergence (overflow, window edges) the sf0.01 gate can't see;
+ORACLE_JSON_OUT — write a CORRECTNESS_r{N}.json-shaped artifact.
 """
 
 from __future__ import annotations
@@ -54,6 +59,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name.split("_")[0] not in only:
             continue
@@ -65,6 +71,9 @@ def main() -> int:
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name:28s} rows={spark_n:>7}  (rows-only, no oracle)  {dt:5.1f}s")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": spark_n,
+                             "oracle_rows": None, "err": "no_oracle"}
             if spark_n == 0:
                 failures.append((name, "zero rows (rows-only)"))
             continue
@@ -78,11 +87,21 @@ def main() -> int:
         print(f"{name:28s} rows={spark_n:>7} oracle={oracle_n:>7} "
               f"hash={'=' if spark_h == oracle_h else '!'} "
               f"cols={'=' if ok_cols else '!'} {status}  {dt:5.1f}s")
+        results[name] = {"rows_match": spark_n == oracle_n,
+                         "schema_match": ok_cols,
+                         "hash_match": spark_h == oracle_h,
+                         "spark_rows": spark_n, "oracle_rows": oracle_n,
+                         "wall_sec": round(dt, 1), "err": None}
         if not ok:
             failures.append((name, f"spark=({spark_n},{spark_h}) "
                                    f"oracle=({oracle_n},{oracle_h}) "
                                    f"cols {cols} vs {ocols}"))
     spark.stop()
+    out_json = os.environ.get("ORACLE_JSON_OUT")
+    if out_json:
+        import json
+        with open(out_json, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "results": results}, fh, indent=2)
     if failures:
         print("\nFAILURES:")
         for n, msg in failures:

@@ -51,6 +51,17 @@ def main() -> None:
     ap.add_argument("--no-fuse", action="store_true",
                     help="run extract and annotate as separate stages "
                          "instead of the fused single Arrow pass")
+    ap.add_argument("--html-style", choices=("clean", "messy"),
+                    default="clean",
+                    help="synthetic corpus html shape (messy = real-web "
+                         "chrome around the content; only used when "
+                         "--pages is omitted)")
+    ap.add_argument("--extractor", choices=("synthetic", "web"),
+                    default="synthetic",
+                    help="extract-stage text extractor: 'synthetic' "
+                         "inverts the clean generator exactly; 'web' is "
+                         "the boilerplate-aware real-web extractor "
+                         "(kg.webextract.extract_text_web)")
     args = ap.parse_args()
 
     spark = get_spark("quickner-kg-pipeline", cores=args.cores)
@@ -61,14 +72,19 @@ def main() -> None:
         pages_path = os.path.join(args.out, "pages")
         if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
             corpus.synth_pages(spark, args.n_docs, seed=args.seed,
-                               gaz_size=args.gazetteer_size) \
+                               gaz_size=args.gazetteer_size,
+                               html_style=args.html_style) \
                 .write.mode("overwrite").parquet(pages_path)
 
+    extractor = None
+    if args.extractor == "web":
+        from quickner_spark.kg.webextract import extract_text_web
+        extractor = extract_text_web
     gaz = corpus.synth_gazetteer(args.gazetteer_size, args.seed)
     bucket = ("url", args.bucket) if args.bucket else None
     pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
                              corpus.PREDICATES, bucket=bucket,
-                             fuse=not args.no_fuse)
+                             fuse=not args.no_fuse, extractor=extractor)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0

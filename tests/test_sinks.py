@@ -177,3 +177,61 @@ def test_conll_lines_span_dense_doc_bounded(spark):
     assert lines[99] == "w0099\tL1"
     assert lines[100] == "w0100\tO"
     assert all(l.endswith("\tO") for l in lines[100:])
+
+
+def _labeled_df(spark, rows):
+    """(id, text, [(s,e,label)...]) -> the sink input shape."""
+    data = [(i, t, [(s, e, l) for s, e, l in spans]) for i, t, spans in rows]
+    return spark.createDataFrame(
+        data, "id string, text string, "
+              "label array<struct<start: int, end: int, label: string>>")
+
+
+def test_jsonl_lines_byte_identical_to_driver_writer(processed, spark,
+                                                     tmp_path):
+    """The distributed K1 writer must reproduce to_jsonl's serde-compact
+    bytes exactly — unquoted integer offsets included."""
+    base = processed.save_annotations(str(tmp_path / "p.x"), "jsonl")
+    expected = open(base + ".jsonl").read().splitlines()
+    df = processed._annotated_df()
+    got = [r["value"] for r in sk.jsonl_lines(df).collect()]
+    assert sorted(got) == sorted(expected)
+    for line in got:
+        rec = json.loads(line)
+        assert all(isinstance(s, int) and isinstance(e, int)
+                   for s, e, _ in rec["label"])
+
+
+def test_spacy_lines_byte_identical_to_driver_writer(processed, spark,
+                                                     tmp_path):
+    """Joining spacy_lines rows with ',' inside '[...]' must reproduce
+    to_spacy's single JSON array byte-for-byte."""
+    processed.save_annotations(str(tmp_path / "sp.json"), "spacy")
+    expected = open(str(tmp_path / "sp.json")).read()
+    df = processed._annotated_df()
+    # to_spacy iterates toLocalIterator order; collect preserves it here
+    got = "[" + ",".join(r["value"]
+                         for r in sk.spacy_lines(df).collect()) + "]"
+    assert json.loads(got) == json.loads(expected)
+    assert sorted(got[1:-1].split('],["')) == \
+        sorted(expected[1:-1].split('],["'))
+
+
+def test_json_line_writers_escape_hostile_text(spark):
+    """Text with quotes, backslashes, newlines and unicode must produce
+    VALID JSON identical to json.dumps(..., ensure_ascii=False) — the
+    driver writers' encoding."""
+    rows = [("d0", 'he said "hi" \\ bye\nnew\tline', [(0, 2, 'L"B')]),
+            ("d1", "plain ünïcode text", [])]
+    df = _labeled_df(spark, rows)
+    for r in sk.jsonl_lines(df).collect():
+        rec = json.loads(r["value"])  # must parse
+        src = next(x for x in rows if x[0] == rec["id"])
+        assert rec["text"] == src[1]
+        expected = json.dumps(
+            {"id": src[0], "text": src[1],
+             "label": [[s, e, l] for s, e, l in src[2]]},
+            separators=(",", ":"), ensure_ascii=False)
+        assert r["value"] == expected
+    got = {json.loads(r["value"])[0] for r in sk.spacy_lines(df).collect()}
+    assert got == {t for _, t, _ in rows}

@@ -94,3 +94,64 @@ def test_extract_stage_contract_with_web_extractor(spark):
     assert labs == {"ORG", "PROD"}
     surfaces = {s["surface"] for s in rows["u2"]["spans"]}
     assert "acme systems" in surfaces
+
+
+def test_messy_corpus_byte_identical_extraction(spark):
+    """The messy-html generator + web extractor must round-trip the
+    synthetic text byte-for-byte whenever the content block qualifies
+    (>= min_words alnum words) — the real-web restatement of the
+    byte-identical-extraction invariant. Link-farm chrome carries
+    gazetteer ORG names and MUST be dropped."""
+    from quickner_spark.kg import corpus
+
+    gaz = corpus.synth_gazetteer(200, 42)
+    n_ok = n_short = 0
+    for i in range(400):
+        text, _ = corpus.page_text(i, gaz, 42)
+        got = extract_text_web(corpus.page_html_messy(text, f"doc {i}", i))
+        n_words = sum(1 for w in text.split()
+                      if any(c.isalnum() for c in w))
+        if n_words < 5:
+            n_short += 1  # below the classifier's min_words: None is the contract
+            assert got is None
+        else:
+            assert got == text, i
+            n_ok += 1
+    assert n_ok >= 390  # the short tail is rare by construction
+
+
+def test_messy_web_pipeline_equals_clean_synthetic(spark, tmp_path):
+    """Full KG build over MESSY pages with the web extractor must be
+    row-identical (triples, nodes, edges) to the build over CLEAN pages
+    with the synthetic-inverse extractor — same urls, same ground-truth
+    text, so any divergence is extraction noise. Pages below the
+    classifier's min_words extract to None (mentionless), so the corpus
+    is generated at 4 sentences/page where every page qualifies."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg.pipeline import build_kg_pipeline
+
+    gaz = corpus.synth_gazetteer(150, 42)
+    n = 120
+    clean = corpus.synth_pages(spark, n, seed=42, gaz_size=150,
+                               partitions=2, sents_per_page=4)
+    messy = corpus.synth_pages(spark, n, seed=42, gaz_size=150,
+                               partitions=2, sents_per_page=4,
+                               html_style="messy")
+    clean.write.parquet(str(tmp_path / "pc"))
+    messy.write.parquet(str(tmp_path / "pm"))
+    p_clean = build_kg_pipeline(spark, str(tmp_path / "kgc"),
+                                str(tmp_path / "pc"), gaz, corpus.PREDICATES)
+    p_messy = build_kg_pipeline(spark, str(tmp_path / "kgm"),
+                                str(tmp_path / "pm"), gaz, corpus.PREDICATES,
+                                extractor=extract_text_web)
+    p_clean.run()
+    p_messy.run()
+    def canon(df, cols):
+        return {tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.select(*cols).collect()}
+
+    for st in ("triples", "nodes", "edges"):
+        cols = sorted(p_clean.table(st).columns)
+        assert canon(p_clean.table(st), cols) == \
+            canon(p_messy.table(st), cols), st
+    assert p_messy.table("triples").count() > 0
