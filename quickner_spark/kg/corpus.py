@@ -95,15 +95,23 @@ def _zipf_pick(items: list, r: int) -> object:
     return items[max(0, min(n - 1, k))]
 
 
-def page_text(i: int, gaz: list[tuple[str, str]], seed: int = 42) -> tuple[str, list[tuple[str, str, str]]]:
-    """Deterministic text for doc i + its ground-truth triples."""
+def page_text(i: int, gaz: list[tuple[str, str]], seed: int = 42,
+              hot_name_share: float = 0.0) -> tuple[str, list[tuple[str, str, str]]]:
+    """Deterministic text for doc i + its ground-truth triples.
+    ``hot_name_share``: probability that a sentence's SUBJECT is forced to
+    ``gaz[0]`` — the planted head entity for skew evidence (a Zipf-1 head
+    far heavier than the generator's organic Zipf tail)."""
     r0 = _h(seed, "doc", i)
     n_sent = 1 + r0 % 3
     sents = []
     triples = []
     for s in range(n_sent):
         r = _h(seed, "sent", i, s)
-        subj, _ = _zipf_pick(gaz, r)
+        if hot_name_share and (_h(seed, "hot", i, s) % 10_000
+                               < hot_name_share * 10_000):
+            subj, _ = gaz[0]
+        else:
+            subj, _ = _zipf_pick(gaz, r)
         obj, _ = _zipf_pick(gaz, r >> 16)
         if obj == subj:
             j = (r >> 32) % len(gaz)
@@ -166,7 +174,9 @@ def page_html_messy(text: str, title: str, i: int, seed: int = 42) -> bytes:
 def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 gaz_size: int = 999, partitions: int | None = None,
                 sents_per_page: int = 1,
-                html_style: str = "clean") -> DataFrame:
+                html_style: str = "clean",
+                hot_name_share: float = 0.0,
+                hot_domain_share: float = 0.0) -> DataFrame:
     """Distributed generation of the pages table. Hot-domain skew: domain
     rank chosen Zipf-style, so ~40% of urls land on one domain.
     ``sents_per_page`` > 1 concatenates that many generated pages into one
@@ -176,7 +186,15 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
     ``html_style="messy"`` wraps the same text in real-web chrome
     (:func:`page_html_messy`) for the boilerplate-aware extractor path —
     the ``text`` column (ground truth) is unchanged, so any extractor can
-    be judged against it."""
+    be judged against it.
+
+    Planted-skew knobs for stress evidence (default off):
+    ``hot_name_share`` forces that fraction of sentence SUBJECTS to
+    ``gaz[0]`` (a head entity dominating the mention distribution — the
+    skew case for every surface-keyed aggregate and join);
+    ``hot_domain_share`` routes that fraction of urls to ONE domain
+    prefix (hot-host crawl skew; url-keyed plans must stay balanced
+    because bucket/shuffle keys hash the FULL url)."""
     if html_style not in ("clean", "messy"):
         raise ValueError(f"unknown html_style: {html_style!r}")
     gaz = synth_gazetteer(gaz_size, seed)
@@ -192,12 +210,17 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
             for i in pdf["id"].values:
                 i = int(i)
                 if spp == 1:
-                    text, _ = page_text(i, gaz, seed)
+                    text, _ = page_text(i, gaz, seed, hot_name_share)
                 else:
-                    text = " ".join(page_text(i * spp + k, gaz, seed)[0]
-                                    for k in range(spp))
+                    text = " ".join(
+                        page_text(i * spp + k, gaz, seed, hot_name_share)[0]
+                        for k in range(spp))
                 r = _h(seed, "meta", i)
-                domain = _zipf_pick(_DOMAINS, r)
+                if hot_domain_share and (_h(seed, "hotd", i) % 10_000
+                                         < hot_domain_share * 10_000):
+                    domain = _DOMAINS[0]
+                else:
+                    domain = _zipf_pick(_DOMAINS, r)
                 urls.append(f"https://{domain}/doc/{i}")
                 tss.append(epoch + dt.timedelta(seconds=i % 864000))
                 htmls.append(page_html_messy(text, f"doc {i}", i, seed)
