@@ -80,6 +80,11 @@ def main() -> None:
     # --- 2. batch equality (distributed) --------------------------------
     bm, bt = kg_batch_increment(full, corpus.synth_gazetteer(GAZ_SIZE, 42),
                                 corpus.PREDICATES)
+    # each exceptAll direction would recompute the whole batch increment —
+    # pin both twins once
+    bm = bm.localCheckpoint()
+    bt = bt.localCheckpoint()
+
     def identical(stream_df, batch_df) -> bool:
         s = stream_df.drop("batch_id")
         return (s.exceptAll(batch_df).count() == 0

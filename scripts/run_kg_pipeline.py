@@ -89,8 +89,17 @@ def main() -> None:
     status = pipe.run(force=args.force)
     wall = time.time() - t0
     counts = {s: pipe.table(s).count() for s in status}
+    # per-stage walls from the committed metrics rows; prefer this run's
+    # rows (a reran stage appends a second record), fall back to the
+    # original wall for stages skipped this run
+    stage_wall: dict[str, int] = {}
+    for r in (pipe.metrics().select("stage", "wall_ms", "run_id")
+              .distinct().collect()):
+        if r["run_id"] == pipe.run_id or r["stage"] not in stage_wall:
+            stage_wall[r["stage"]] = r["wall_ms"]
     print(json.dumps({"status": status, "rows": counts,
                       "wall_sec": round(wall, 2),
+                      "stage_wall_ms": stage_wall,
                       "triples_per_sec": round(
                           counts.get("triples", 0) / max(wall, 1e-9), 1)}))
     spark.stop()
