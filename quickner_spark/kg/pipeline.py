@@ -467,7 +467,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       bucket: tuple[str, int] | None = None,
                       table_prefix: str = "kg",
                       fuse: bool = True,
-                      extractor=None) -> Pipeline:
+                      extractor=None,
+                      pages_format: str = "parquet") -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
     directories; ``bucket=("url", N)``: bucketed session-catalog tables
@@ -484,7 +485,13 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     ``extractor``: deterministic ``bytes -> str | None`` for the extract
     stage (default ``kg.extract.extract_text``, the synthetic-corpus
     inverse; pass ``kg.webextract.extract_text_web`` for real-web
-    boilerplate-aware extraction — same contract, fused or not)."""
+    boilerplate-aware extraction — same contract, fused or not).
+
+    ``pages_format``: ``"parquet"`` (default) or ``"warc"`` — the latter
+    reads Common-Crawl-style archives via :func:`sources.warc.read_warc`
+    (``pages_path`` then points at a directory of ``*.warc`` /
+    ``*.warc.gz`` files); downstream stages are format-agnostic because
+    both readers emit the same pages schema."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -497,8 +504,15 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     # post-span text window: predicate token + the two framing spaces
     pred_window = (max(len(p) for p in predicates) + 2) if predicates else 0
 
+    if pages_format not in ("parquet", "warc"):
+        raise ValueError(f"unknown pages_format: {pages_format!r}")
+
     def s_extract(spark, ctx):
-        pages = spark.read.parquet(pages_path)
+        if pages_format == "warc":
+            from quickner_spark.sources.warc import read_warc
+            pages = read_warc(spark, pages_path, path_glob="*.warc*")
+        else:
+            pages = spark.read.parquet(pages_path)
         if fuse:
             return extract_annotate_stage(pages, gaz, window=pred_window,
                                           extractor=extractor)

@@ -56,6 +56,11 @@ def main() -> None:
                     help="synthetic corpus html shape (messy = real-web "
                          "chrome around the content; only used when "
                          "--pages is omitted)")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="pages table format: parquet (default) or a "
+                         "directory of Common-Crawl-style *.warc/.warc.gz "
+                         "archives (sources.warc.read_warc)")
     ap.add_argument("--extractor", choices=("synthetic", "web"),
                     default="synthetic",
                     help="extract-stage text extractor: 'synthetic' "
@@ -84,7 +89,8 @@ def main() -> None:
     bucket = ("url", args.bucket) if args.bucket else None
     pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
                              corpus.PREDICATES, bucket=bucket,
-                             fuse=not args.no_fuse, extractor=extractor)
+                             fuse=not args.no_fuse, extractor=extractor,
+                             pages_format=args.input_format)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0
