@@ -522,6 +522,21 @@ def q37_spacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spacy_lines(d, keep_cols=("id",)).withColumnRenamed("id", "doc_id")
 
 
+def q38_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max snapshot dedup (operators/events.py::latest_by_key): the
+    LATEST event per user — the same operator the WARC/Common-Crawl
+    ingest uses to keep one capture per revisited url
+    (sources/warc.py::latest_by_url). ``max_by(struct(row), struct(ts,
+    …))`` with a map-side partial arg-max, ~|keys| rows shuffled (plans
+    as SortAggregate — struct buffers aren't hash-aggregable — but the
+    sorts are local; the window form shuffles+sorts every input row).
+    Deterministic under ts ties: the
+    struct comparison falls through to the remaining row, which the
+    oracle restates as the matching ORDER BY ... DESC chain."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.latest_by_key(events, "user_id", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -616,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_window_triples": q35_window_triples,
         "q36_jsonl_export": q36_jsonl_export,
         "q37_spacy_export": q37_spacy_export,
+        "q38_latest_events": q38_latest_events,
     }
 
 
@@ -1271,6 +1287,19 @@ CROSS JOIN preds p
 JOIN mentions m2 ON m2.doc_id = m1.doc_id
  AND m2."start" = m1."end" + 2 + length(p.pred)
 WHERE starts_with(m1.nxt, ' ' || p.pred || ' ')
+""",
+        # q38: row_number restatement of the max_by(struct) arg-max — the
+        # DESC chain mirrors the struct's lexicographic comparison order
+        # (ts first, then the remaining row) exactly
+        "q38_latest_events": """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC, event_type DESC,
+             value DESC, props DESC) AS rn
+  FROM events) t
+WHERE rn = 1
 """,
     }
 

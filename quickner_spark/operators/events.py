@@ -12,7 +12,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["tumbling_window_stats", "sessionize", "session_stats"]
+__all__ = ["tumbling_window_stats", "sessionize", "session_stats",
+           "latest_by_key"]
+
+
+def latest_by_key(df: DataFrame, key_cols, ts_col: str,
+                  tiebreak_cols=()) -> DataFrame:
+    """Arg-max snapshot dedup: ONE row per key — the row with the
+    greatest ``(ts, *tiebreak)``. The crawl use case: Common-Crawl
+    archives revisit URLs across segments/snapshots, and the KG pipeline
+    keys documents on url, so WARC ingest dedups to the latest capture
+    (:func:`sources.warc.latest_by_url`).
+
+    Shape: ``max_by(struct(<row>), struct(ts, *tiebreak))`` — an
+    aggregate whose map-side PARTIAL keeps one candidate row per key per
+    partition, so the exchange carries ~|keys| rows. (Struct buffers
+    aren't hash-aggregable, so it plans as a SortAggregate with a local
+    per-partition sort on the key — still no corpus-wide shuffle of
+    candidate rows.) The window alternative (``row_number() over
+    (partition by key order by ts desc)``) shuffles AND sorts every
+    input row; at corpus scale the partial-aggregate form wins and is
+    skew-immune for the same reason any map-side combine is. Ties beyond
+    ``tiebreak_cols`` are broken by the whole remaining row (struct
+    comparison is lexicographic), keeping the result deterministic even
+    for full-duplicate rows."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    rest = [c for c in df.columns if c not in key_cols]
+    order = F.struct(ts_col, *tiebreak_cols,
+                     *[c for c in rest if c != ts_col
+                       and c not in tiebreak_cols])
+    return (df.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*rest), order).alias("_r"))
+            .select(*key_cols, *[F.col(f"_r.{c}").alias(c) for c in rest]))
 
 
 def tumbling_window_stats(events: DataFrame, ts_col: str = "ts",

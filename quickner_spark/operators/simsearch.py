@@ -288,53 +288,105 @@ def _ivf_topk_portable(df: DataFrame, k: int, probe_ids, nlist: int,
     return out
 
 
+def _lloyd_numpy(sample, nlist: int, iters: int):
+    """Lloyd's k-means on the (bounded, already-collected) training
+    sample — plain NumPy on the driver. ``sample`` is an (M, dim) float64
+    array whose first ``nlist`` rows are the seeds (hash-ordered, so the
+    seeding is identical to the previous per-row relational form).
+    Deterministic: argmin breaks ties on the lowest cid, means are NumPy
+    pairwise sums over a fixed row order. Empty cells keep their previous
+    centroid instead of vanishing (the old relational update silently
+    dropped them)."""
+    import numpy as np
+
+    cents = sample[:nlist].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def _assign_cells_np(v: DataFrame, cents, id_col: str) -> DataFrame:
+    """(id, v) -> (id, v, cid) by min L2 distance against the (tiny)
+    centroid matrix, as ONE Arrow-batched mapInPandas kernel: a single
+    NumPy GEMM-shaped distance computation per batch. No nlist-fold row
+    expansion, no exchange — the previous relational form crossJoined
+    N x nlist rows through interpreted ``zip_with``/``aggregate`` HOFs
+    before a map-side argmin collapsed them. Ties break on the lowest
+    cid (np.argmin), matching the relational ``min_by(struct(dist2,
+    cid))`` tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    c2 = (cents ** 2).sum(axis=1)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(cid=pd.Series(dtype="int32"))
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
+            # per row so argmin needs only the last two terms
+            d2 = c2[None, :] - 2.0 * (x @ cents.T)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "v": pdf["v"],
+                                "cid": d2.argmin(axis=1).astype("int32")})
+
+    return v.mapInPandas(
+        kern, f"{id_col} {dict(v.dtypes)[id_col]}, v array<double>, cid int")
+
+
 def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
              nprobe: int = 4, iters: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             hash_family: str = "xxhash64") -> DataFrame:
+             hash_family: str = "xxhash64",
+             train_per_cell: int = 256) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the second ANN
     scale path next to ``lsh_topk``.
 
-    Coarse quantizer: ``nlist`` centroids seeded deterministically (the
-    vectors with the smallest ``xxhash64(vec_id)`` — a seeded sample, no
-    driver randomness) and refined with ``iters`` Lloyd iterations, all as
-    DataFrame ops (assign = broadcast-centroid argmin; update = posexplode
-    dims -> per-(cell, dim) mean). Search: each probe scans only its
-    ``nprobe`` nearest cells; candidates are re-scored exactly (cosine).
-
-    At 100 TB the centroid table stays tiny (nlist ~ sqrt(N) x dim
-    doubles, broadcast), the assignment pass is a narrow map over the scan,
-    and the candidate join is an equi-join keyed on cell id — per-probe
-    work is ~N * nprobe / nlist instead of N.
+    Coarse quantizer: trained on a bounded DETERMINISTIC sample — the
+    ``min(N, nlist * train_per_cell)`` vectors with the smallest
+    ``xxhash64(vec_id)`` (a seeded sample, no driver randomness; the
+    first ``nlist`` of them are the seeds, unchanged from the full-data
+    form). Lloyd runs in NumPy on the driver over that sample — the
+    standard IVF design (FAISS trains its coarse quantizer the same
+    way): at any corpus scale the training cost is O(iters · nlist ·
+    cap · dim) driver work and ONE Spark action, instead of ``iters``
+    cluster-wide passes with a driver sync each. The expensive parts
+    stay distributed: assignment is one Arrow GEMM kernel over the
+    scan (:func:`_assign_cells_np`), candidates are an equi-join keyed
+    on cell id — per-probe work is ~N * nprobe / nlist instead of N.
 
     ``hash_family="portable"`` switches to the oracle-comparable variant
-    (:func:`_ivf_topk_portable`): md5-seeded, integer centroids, integer
-    distances, quantized-cosine scoring — identical in any ANSI engine.
-    Production default stays xxhash64 + float64."""
+    (:func:`_ivf_topk_portable`): md5-seeded, full-data relational Lloyd
+    with integer centroids/distances, quantized-cosine scoring —
+    restatable bit-for-bit in any ANSI engine (oracle q24). Production
+    default stays xxhash64 + float64 + sampled training."""
     if hash_family == "portable":
         return _ivf_topk_portable(df, k, probe_ids, nlist, nprobe, iters,
                                   id_col, vec_col)
     if hash_family != "xxhash64":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    import numpy as np
+
     spark = df.sparkSession
-    v = (df.select(F.col(id_col),
-                   F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                   .alias("v"))
-         .cache())
-    seeds = (v.select("v", F.xxhash64(F.col(id_col).cast("string")).alias("h"))
-             .orderBy("h", id_col).limit(nlist).collect())
-    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        cdf = F.broadcast(spark.createDataFrame(cents, "cid int, c array<double>"))
-        assigned = _assign_cells(v, cdf, id_col)
-        new = (assigned.select("cid", F.posexplode("v").alias("d", "x"))
-               .groupBy("cid", "d").agg(F.avg("x").alias("x"))
-               .groupBy("cid")
-               .agg(F.transform(F.array_sort(F.collect_list(F.struct("d", "x"))),
-                                lambda s: s["x"]).alias("c")))
-        cents = [(r["cid"], list(r["c"])) for r in new.collect()]
-    cdf = F.broadcast(spark.createDataFrame(cents, "cid int, c array<double>"))
-    assigned = _assign_cells(v, cdf, id_col)
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                  .alias("v"))
+    train = (v.select("v", F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+                      F.col(id_col))
+             .orderBy("h", id_col).limit(nlist * train_per_cell).collect())
+    sample = np.array([r["v"] for r in train], dtype="float64")
+    cents = _lloyd_numpy(sample, nlist, iters)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, c array<double>"))
+    assigned = _assign_cells_np(v, cents, id_col)
     probes = assigned.where(F.col(id_col).isin(list(probe_ids)))
     # nprobe nearest cells per probe
     dist2 = F.aggregate(F.zip_with("pv", "c", lambda x, y: (x - y) * (x - y)),
@@ -347,11 +399,13 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
               .withColumn("rn", F.row_number().over(wp))
               .where(F.col("rn") <= nprobe)
               .select("probe_id", "pv", "cid"))
+    # each vector lives in exactly ONE cell, so a (probe, neighbor) pair
+    # cannot recur across probed cells — no dedup (the old .distinct()
+    # forced a full shuffle of the candidate set for nothing)
     cand = (assigned.join(pcells, "cid")
             .where(F.col(id_col) != F.col("probe_id"))
             .select("probe_id", F.col(id_col).alias("neighbor_id"),
-                    "pv", F.col("v").alias("cv"))
-            .distinct())
+                    "pv", F.col("v").alias("cv")))
     dot = F.aggregate(F.zip_with("pv", "cv", lambda x, y: x * y),
                       F.lit(0.0), lambda a, b: a + b)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
@@ -360,15 +414,9 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
                          (dot / (norm(F.col("pv")) * norm(F.col("cv"))))
                          .alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k)
-           .select("probe_id", "neighbor_id", "rank", "cosine"))
-    # The cache existed for the Lloyd iterations (iters+1 driver actions);
-    # the returned plan scans v exactly once more, so release the executor
-    # storage NOW and let that one action recompute the narrow cast — on a
-    # shared cluster a leaked cache outlives the query, a re-scan does not.
-    v.unpersist(blocking=False)
-    return out
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cosine"))
 
 
 def _infer_dim(df: DataFrame, vec_col: str):

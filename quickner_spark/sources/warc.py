@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_warc", "warc_record_bytes", "write_warc_file",
-           "parse_warc_stream"]
+           "parse_warc_stream", "latest_by_url"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -189,6 +189,17 @@ def read_warc(spark: SparkSession, path: str, *, strict: bool = False,
             yield out
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def latest_by_url(pages: DataFrame) -> DataFrame:
+    """Snapshot dedup for crawl ingest: Common-Crawl revisits URLs across
+    segments and snapshots, and the KG pipeline keys documents on url —
+    keep only the LATEST capture per url (warc_ts, ties broken by the
+    remaining row so the result is deterministic). Map-side arg-max
+    aggregate, ~|urls| rows shuffled — see
+    :func:`operators.events.latest_by_key`."""
+    from quickner_spark.operators.events import latest_by_key
+    return latest_by_key(pages, "url", "warc_ts")
 
 
 # ---------------------------------------------------------------------------

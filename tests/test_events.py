@@ -59,3 +59,35 @@ def test_quality_score_bounds(spark):
     for r in q:
         assert 0 <= r["quality"] <= 100
         assert 0 <= r["stop_pct"] <= 100
+
+
+def test_latest_by_key_argmax(toy_events):
+    got = {r["user_id"]: (r["ts"], r["event_type"], r["value"])
+           for r in ev.latest_by_key(toy_events, "user_id", "ts").collect()}
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    assert got == {
+        1: (t0 + dt.timedelta(minutes=55), "view", 3.0),
+        2: (t0 + dt.timedelta(minutes=40), "click", 0.5),
+    }
+
+
+def test_latest_by_key_tie_break_deterministic(spark):
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, "a", 9.0), (1, t, "b", 1.0), (1, t, "b", 2.0)],
+        "k long, ts timestamp, s string, v double")
+    # equal ts: the struct comparison falls through to (s, v) — max row
+    (row,) = ev.latest_by_key(df, "k", "ts").collect()
+    assert (row["s"], row["v"]) == ("b", 2.0)
+
+
+def test_latest_by_key_composite_key_and_column_set(spark):
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "x", t, 1.0), (1, "x", t + dt.timedelta(1), 2.0),
+         (1, "y", t, 3.0)],
+        "a long, b string, ts timestamp, v double")
+    out = ev.latest_by_key(df, ["a", "b"], "ts")
+    assert out.columns == ["a", "b", "ts", "v"]
+    assert {(r["a"], r["b"], r["v"]) for r in out.collect()} == \
+        {(1, "x", 2.0), (1, "y", 3.0)}

@@ -155,3 +155,19 @@ def test_unknown_pages_format_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="pages_format"):
         build_kg_pipeline(spark, str(tmp_path / "o"), "x",
                           [("acme", "ORG")], (), pages_format="orc")
+
+
+def test_latest_by_url_keeps_newest_capture(spark, tmp_path):
+    from quickner_spark.sources.warc import latest_by_url
+    d = tmp_path / "warc"
+    d.mkdir()
+    recs = [
+        warc_record_bytes("http://a/x", TS_A, b"<p>old capture</p>"),
+        warc_record_bytes("http://a/x", TS_B, b"<p>new capture</p>"),
+        warc_record_bytes("http://b/y", TS_A, HTML_B),
+    ]
+    write_warc_file(str(d / "p.warc.gz"), recs)
+    out = latest_by_url(read_warc(spark, str(d))).collect()
+    rows = {r["url"]: bytes(r["html"]) for r in out}
+    assert rows == {"http://a/x": b"<p>new capture</p>",
+                    "http://b/y": HTML_B}
