@@ -537,6 +537,30 @@ def q38_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.latest_by_key(events, "user_id", "ts")
 
 
+def q39_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta classification (kg/delta.py::snapshot_delta):
+    the skip/reprocess decision the incremental KG store
+    (``SnapshotKg.update``) makes per url — one doc-keyed left join of
+    the new snapshot's content digests against the previous manifest,
+    keeping only 'new' and 'changed' keys. Staged here on the documents
+    table: the "old" snapshot omits the ``doc_id % 11 == 0`` slice (those
+    classify as new) and the "new" snapshot carries appended text for
+    ``doc_id % 7 == 0`` (those classify as changed). md5 digests so the
+    oracle computes bit-identical hashes (production uses xxhash64 over
+    the html bytes)."""
+    from quickner_spark.kg.delta import snapshot_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = (docs.where(F.col("doc_id") % 11 != 0)
+           .select("doc_id", F.md5("text").alias("digest")))
+    new = docs.select(
+        "doc_id",
+        F.md5(F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("text"), F.lit("X")))
+              .otherwise(F.col("text"))).alias("digest"))
+    return snapshot_delta(new, old, key_col="doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -632,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_jsonl_export": q36_jsonl_export,
         "q37_spacy_export": q37_spacy_export,
         "q38_latest_events": q38_latest_events,
+        "q39_snapshot_delta": q39_snapshot_delta,
     }
 
 
@@ -1300,6 +1325,23 @@ FROM (
              value DESC, props DESC) AS rn
   FROM events) t
 WHERE rn = 1
+""",
+        # q39: the snapshot-delta classification join restated directly —
+        # same md5 digests, same left-join skip condition
+        "q39_snapshot_delta": """
+WITH old AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || 'X' ELSE text END)
+           AS digest
+  FROM documents
+)
+SELECT n.doc_id, n.digest,
+       CASE WHEN o.doc_id IS NULL THEN 'new' ELSE 'changed' END AS status,
+       CAST(NULL AS INTEGER) AS old_snap
+FROM new n LEFT JOIN old o USING (doc_id)
+WHERE o.doc_id IS NULL OR o.digest <> n.digest
 """,
     }
 

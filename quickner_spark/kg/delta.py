@@ -1,0 +1,373 @@
+"""Incremental snapshot updates: reprocess ONLY changed pages when a new
+crawl snapshot lands, and merge the corpus-level aggregates.
+
+At 10^12 documents a full KG rebuild per crawl snapshot is not an option —
+Common-Crawl-style corpora change a few percent of urls per snapshot, and
+the doc-local stages (extract -> mentions -> link -> triples) are
+embarrassingly parallel per document, so the correct operating mode is:
+
+1. **Digest diff.** One narrow pass computes ``xxhash64(html)`` per url;
+   a doc-keyed left join against the previous snapshot's manifest
+   ``(url, digest, snap)`` classifies every page as unchanged (skip),
+   changed (reprocess + subtract its old contributions) or new
+   (reprocess). The per-row invariant the whole pipeline is built on —
+   byte-identical extraction per url (BASELINE.json input_hint) — is what
+   makes the digest a sound skip condition: same bytes ==> same text ==>
+   same mentions/links/triples.
+2. **Doc-local stages run on the changed subset only** and append under
+   ``<table>/snap=K`` partitions — the same fused Arrow pass, broadcast
+   linker and windowed triple extractor the full pipeline uses
+   (``kg.pipeline.build_kg_pipeline``), so a snapshot-0 ``update()`` is
+   row-identical to the batch pipeline (pinned by tests).
+3. **Aggregates merge, never rebuild.** nodes/edges derive from two
+   cumulative count tables — ``linked_stats(surface, label, n)`` and
+   ``triple_stats(subj, pred, obj, n)``, both bounded by the gazetteer /
+   predicate vocabulary, not the corpus — updated as
+   ``old + counts(new rows) - counts(replaced urls' old rows)``. The
+   subtraction reads the replaced urls' previous rows from their
+   ``snap=<old>`` partitions via a (url, snap) join, touching candidates
+   only. Alias canonicalization reruns over the (tiny, gazetteer-bounded)
+   surviving surface set each snapshot.
+4. **Commit = one pointer write.** Every versioned artifact for snapshot
+   K (manifest, stats, aliases, nodes, edges) is written first;
+   ``_CURRENT`` is written last. A crash mid-update leaves orphan
+   ``v{K}`` / ``snap=K`` files that the retry overwrites — readers never
+   see a half-committed snapshot. (With an Iceberg catalog the same
+   design maps onto MERGE + snapshot commits; this parquet layout keeps
+   the identical semantics runnable without a catalog jar.)
+
+Current-view reads (``current_mentions()`` / ``current_triples()``) join
+the per-snapshot partitions with the manifest on ``(url, snap)`` — a
+doc-keyed equi-join on the partition column, eligible for dynamic
+partition pruning; ``compact()`` folds history back into a single
+snapshot when the join tax outgrows the rewrite cost.
+
+Beyond the reference surface (quickner rebuilds its document store per
+run — pyquickner.rs has no incremental path); the operating mode is the
+standard crawl-pipeline design (per-snapshot deltas + mergeable
+aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from quickner_spark.kg.canonicalize import canonicalize_aliases
+from quickner_spark.kg.extract import extract_annotate_stage
+from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
+from quickner_spark.kg.pipeline import _read_text, _write_text
+from quickner_spark.kg.triples import window_triples
+from quickner_spark.operators.annotate import normalize_gazetteer
+
+__all__ = ["SnapshotKg", "snapshot_delta"]
+
+_CURRENT = "_CURRENT"
+
+
+def snapshot_delta(new_digests: DataFrame, old_manifest: DataFrame,
+                   key_col: str = "url",
+                   digest_col: str = "digest") -> DataFrame:
+    """Classify a new snapshot against the previous manifest:
+    ``(key, digest)`` x ``(key, digest[, snap])`` ->
+    ``(key, digest, status, old_snap)`` with ``status`` in
+    ``('new', 'changed')`` — unchanged keys are dropped (they are the
+    skip set). One doc-keyed left join; ``old_snap`` (null for new keys)
+    is the snapshot partition whose rows the update must subtract from
+    the cumulative aggregates. The digest-as-skip-condition is sound
+    because every doc-local stage is a pure function of the page bytes
+    (byte-identical extraction per url — BASELINE.json input_hint)."""
+    om_cols = [F.col(key_col), F.col(digest_col).alias("__od")]
+    has_snap = "snap" in old_manifest.columns
+    if has_snap:
+        om_cols.append(F.col("snap").alias("__os"))
+    om = old_manifest.select(*om_cols)
+    joined = new_digests.select(key_col, digest_col).join(om, key_col, "left")
+    return (joined
+            .where(F.col("__od").isNull()
+                   | (F.col("__od") != F.col(digest_col)))
+            .select(key_col, digest_col,
+                    F.when(F.col("__od").isNull(), F.lit("new"))
+                    .otherwise(F.lit("changed")).alias("status"),
+                    (F.col("__os") if has_snap
+                     else F.lit(None).cast("int")).alias("old_snap")))
+
+
+class SnapshotKg:
+    """A KG maintained across crawl snapshots under ``base_dir``.
+
+    ``update(pages)`` ingests one snapshot (any DataFrame with the pages
+    schema ``url, warc_ts?, html, ...``); urls absent from a snapshot
+    keep their previous content (a crawl that didn't revisit a page is
+    not a deletion). Revisits WITHIN a snapshot are resolved to the
+    latest capture first when a ``warc_ts`` column is present
+    (:func:`operators.events.latest_by_key` arg-max — the same operator
+    WARC ingest uses)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 gazetteer, predicates=(), extractor=None,
+                 case_sensitive: bool = False):
+        self.spark = spark
+        self.base = base_dir.rstrip("/")
+        self.gaz = normalize_gazetteer(gazetteer,
+                                       case_sensitive=case_sensitive)
+        self.predicates = tuple(predicates)
+        self.pred_window = (max(len(p) for p in self.predicates) + 2
+                            if self.predicates else 0)
+        self.extractor = extractor
+
+    # -- layout -----------------------------------------------------------
+    def snap(self):
+        """Current committed snapshot number, or None before ``init``."""
+        cur = _read_text(self.spark, f"{self.base}/{_CURRENT}")
+        return None if cur is None else json.loads(cur)["snap"]
+
+    def _v(self, name: str, k: int) -> str:
+        return f"{self.base}/{name}/v{k}"
+
+    def _part(self, name: str, k: int) -> str:
+        return f"{self.base}/{name}/snap={k}"
+
+    def _cur(self, name: str) -> DataFrame:
+        k = self.snap()
+        if k is None:
+            raise ValueError(f"no committed snapshot under {self.base}")
+        return self.spark.read.parquet(self._v(name, k))
+
+    # -- update -----------------------------------------------------------
+    def update(self, pages: DataFrame) -> dict:
+        """Ingest one snapshot; returns
+        ``{"snap", "pages_in", "changed", "committed"}``. ``changed`` is
+        the number of pages the doc-local stages actually processed —
+        the incrementality contract the tests assert on."""
+        spark = self.spark
+        prev = self.snap()
+        k = 0 if prev is None else prev + 1
+
+        if "warc_ts" in pages.columns:
+            from quickner_spark.operators.events import latest_by_key
+            pages = latest_by_key(pages, "url", "warc_ts")
+
+        # 1. digest pass — the ONLY scan of unchanged pages' html; persist
+        # (url, digest) so the classification joins below are narrow
+        # parquet scans, not repeated hashes of the html column.
+        (pages.select("url", F.xxhash64("html").alias("digest"))
+         .write.mode("overwrite").parquet(self._part("digests", k)))
+        nd = spark.read.parquet(self._part("digests", k))
+
+        if prev is None:
+            changed = nd
+            replaced = None
+            old_manifest = None
+        else:
+            old_manifest = spark.read.parquet(self._v("manifest", prev))
+            delta = snapshot_delta(nd, old_manifest)
+            changed = delta.select("url", "digest")
+            # urls whose OLD rows must be subtracted from the aggregates
+            replaced = (delta.where(F.col("status") == "changed")
+                        .select("url", F.col("old_snap").alias("snap")))
+        t0 = time.time()
+        n_in = nd.count()
+        n_changed = changed.count()
+        if n_changed == 0 and prev is not None:
+            self._log_update(k, n_in, 0, committed=False,
+                             wall_ms=int((time.time() - t0) * 1000))
+            return {"snap": prev, "pages_in": n_in, "changed": 0,
+                    "committed": False}
+
+        # 2. doc-local stages over the changed subset only (the second and
+        # last scan of any html bytes, and only the changed ones)
+        proc = pages.join(changed.select("url"), "url", "left_semi")
+        ext = extract_annotate_stage(proc, self.gaz,
+                                     window=self.pred_window,
+                                     extractor=self.extractor)
+        ext.write.mode("overwrite").parquet(self._part("extract", k))
+        ext = spark.read.parquet(self._part("extract", k))
+
+        cols = ["url", F.col("m.start").alias("start"),
+                F.col("m.end").alias("end"),
+                F.col("m.label").alias("label"),
+                F.col("m.surface").alias("surface"),
+                F.col("m.maximal").alias("maximal")]
+        if self.pred_window:
+            cols.append(F.col("m.nxt").alias("nxt"))
+        (ext.select("url", F.explode("spans").alias("m")).select(*cols)
+         .write.mode("overwrite").parquet(self._part("mentions", k)))
+        mentions = spark.read.parquet(self._part("mentions", k))
+
+        alias_table = alias_table_from_gazetteer(spark, self.gaz)
+        linked = link_mentions(mentions, ext.select("url", "text"),
+                               alias_table, id_col="url")
+        linked.write.mode("overwrite").parquet(self._part("linked", k))
+        linked = spark.read.parquet(self._part("linked", k))
+
+        maximal = mentions.where(F.col("maximal")).drop("maximal")
+        triples = window_triples(maximal, self.predicates, id_col="url")
+        triples.write.mode("overwrite").parquet(self._part("triples", k))
+        triples = spark.read.parquet(self._part("triples", k))
+
+        # 3. merge the cumulative aggregate-grain count tables
+        plus_l = linked.groupBy("surface", "label").agg(
+            F.count("*").alias("n"))
+        plus_t = triples.groupBy("subj", "pred", "obj").agg(
+            F.count("*").alias("n"))
+        if prev is not None:
+            lstats = self._merge(self._cur_stats("linked_stats", prev),
+                                 plus_l, self._minus("linked", replaced,
+                                                     ["surface", "label"]),
+                                 ["surface", "label"])
+            tstats = self._merge(self._cur_stats("triple_stats", prev),
+                                 plus_t, self._minus("triples", replaced,
+                                                     ["subj", "pred", "obj"]),
+                                 ["subj", "pred", "obj"])
+        else:
+            lstats, tstats = plus_l, plus_t
+        lstats.write.mode("overwrite").parquet(self._v("linked_stats", k))
+        tstats.write.mode("overwrite").parquet(self._v("triple_stats", k))
+        lstats = spark.read.parquet(self._v("linked_stats", k))
+        tstats = spark.read.parquet(self._v("triple_stats", k))
+
+        # 4. canonicalization + derived nodes/edges — gazetteer-bounded
+        # inputs, same derivation as the batch pipeline's s_nodes/s_edges
+        aliases = canonicalize_aliases(
+            lstats.select(F.col("surface").alias("alias")).distinct())
+        aliases.write.mode("overwrite").parquet(self._v("aliases", k))
+        amap = spark.read.parquet(self._v("aliases", k))
+
+        nodes = (lstats.join(amap, lstats["surface"] == amap["alias"])
+                 .groupBy("canonical_id")
+                 .agg(F.min("label").alias("label"),
+                      F.sort_array(F.collect_set("surface")).alias("aliases"),
+                      F.sum("n").alias("n_mentions")))
+        nodes.write.mode("overwrite").parquet(self._v("nodes", k))
+        subj_map = amap.selectExpr("alias as subj", "canonical_id as src")
+        obj_map = amap.selectExpr("alias as obj", "canonical_id as dst")
+        edges = (tstats.join(F.broadcast(subj_map), "subj")
+                 .join(F.broadcast(obj_map), "obj")
+                 .groupBy("src", "dst", "pred")
+                 .agg(F.sum("n").alias("weight")))
+        edges.write.mode("overwrite").parquet(self._v("edges", k))
+
+        # 5. new manifest: unchanged urls keep their (digest, snap) row
+        if prev is None:
+            manifest = changed.withColumn("snap", F.lit(k))
+        else:
+            manifest = (old_manifest
+                        .join(changed.select("url"), "url", "left_anti")
+                        .unionByName(changed.withColumn("snap", F.lit(k))))
+        manifest.write.mode("overwrite").parquet(self._v("manifest", k))
+
+        # 6. commit
+        self._log_update(k, n_in, n_changed, committed=True,
+                         wall_ms=int((time.time() - t0) * 1000))
+        _write_text(self.spark, f"{self.base}/{_CURRENT}",
+                    json.dumps({"snap": k}))
+        return {"snap": k, "pages_in": n_in, "changed": n_changed,
+                "committed": True}
+
+    def _cur_stats(self, name: str, k: int) -> DataFrame:
+        return self.spark.read.parquet(self._v(name, k))
+
+    def _minus(self, table: str, replaced: DataFrame, keys) -> DataFrame:
+        """Negative counts of the replaced urls' OLD rows: read the
+        per-snapshot partitions, join on (url, snap) — exactly the rows
+        the old manifest pointed at (each url's rows are written once per
+        content change, under the snap that processed it)."""
+        old = (self.spark.read.parquet(f"{self.base}/{table}")
+               .join(replaced, ["url", "snap"]))
+        return old.groupBy(*keys).agg((-F.count("*")).alias("n"))
+
+    @staticmethod
+    def _merge(old: DataFrame, plus: DataFrame, minus: DataFrame,
+               keys) -> DataFrame:
+        """old + plus - minus on the aggregate grain; rows that reach
+        n == 0 disappear (a surface whose last mention was replaced must
+        not survive into the alias set). n < 0 is impossible when the
+        subtraction reads the same rows the addition once counted."""
+        return (old.unionByName(plus).unionByName(minus)
+                .groupBy(*keys).agg(F.sum("n").alias("n"))
+                .where(F.col("n") > 0))
+
+    def _log_update(self, k: int, pages_in: int, changed: int,
+                    committed: bool, wall_ms: int) -> None:
+        (self.spark.createDataFrame(
+            [(k, pages_in, changed, committed, wall_ms)],
+            "snap int, pages_in long, changed long, committed boolean, "
+            "wall_ms long")
+         .repartition(1).write.mode("append")
+         .parquet(f"{self.base}/_updates"))
+
+    # -- reads ------------------------------------------------------------
+    def nodes(self) -> DataFrame:
+        return self._cur("nodes")
+
+    def edges(self) -> DataFrame:
+        return self._cur("edges")
+
+    def aliases(self) -> DataFrame:
+        return self._cur("aliases")
+
+    def manifest(self) -> DataFrame:
+        return self._cur("manifest")
+
+    def updates(self) -> DataFrame:
+        """Per-update lineage rows (snap, pages_in, changed, wall_ms)."""
+        return self.spark.read.parquet(f"{self.base}/_updates")
+
+    def _current_rows(self, table: str) -> DataFrame:
+        """Current view of a per-snapshot doc-local table: rows whose
+        (url, snap) the manifest points at. Doc-keyed equi-join whose
+        build side carries the partition column — DPP-eligible; after
+        ``compact()`` it degenerates to a single-partition scan."""
+        rows = self.spark.read.parquet(f"{self.base}/{table}")
+        cur = self.manifest().select("url", "snap")
+        return rows.join(cur, ["url", "snap"]).drop("snap")
+
+    def current_mentions(self) -> DataFrame:
+        return self._current_rows("mentions")
+
+    def current_triples(self) -> DataFrame:
+        return self._current_rows("triples")
+
+    def current_linked(self) -> DataFrame:
+        return self._current_rows("linked")
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> int:
+        """Fold all per-snapshot partitions into the CURRENT snapshot's
+        partition and drop history: afterwards every manifest row points
+        at snap=K and the current-view join prunes to one partition.
+        Amortized full rewrite of the doc-local tables — run it when the
+        snapshot count (not the data size) starts to hurt the view join.
+        Returns the snapshot number everything now lives under."""
+        k = self.snap()
+        if k is None:
+            raise ValueError(f"no committed snapshot under {self.base}")
+        from quickner_spark.kg.pipeline import _hadoop_path
+
+        cur_ptr = self.manifest().select("url", "snap")
+        for table in ("mentions", "linked", "triples", "extract",
+                      "digests"):
+            rows = self.spark.read.parquet(f"{self.base}/{table}")
+            cur = rows.join(cur_ptr, ["url", "snap"]).drop("snap")
+            # two-step: materialize the view to a scratch dir BEFORE
+            # deleting the partitions it reads from
+            tmp = f"{self.base}/{table}__compact"
+            cur.write.mode("overwrite").parquet(tmp)
+            fs, root = _hadoop_path(self.spark, f"{self.base}/{table}")
+            fs.delete(root, True)
+            (self.spark.read.parquet(tmp)
+             .write.mode("overwrite").parquet(self._part(table, k)))
+            fs.delete(_hadoop_path(self.spark, tmp)[1], True)
+        # repoint every manifest row at snap=K — same two-step (the new
+        # manifest reads the file it replaces)
+        tmp = f"{self.base}/manifest__compact"
+        (self.manifest().withColumn("snap", F.lit(k))
+         .write.mode("overwrite").parquet(tmp))
+        fs, _ = _hadoop_path(self.spark, tmp)
+        (self.spark.read.parquet(tmp)
+         .write.mode("overwrite").parquet(self._v("manifest", k)))
+        fs.delete(_hadoop_path(self.spark, tmp)[1], True)
+        return k
