@@ -561,6 +561,44 @@ def q39_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta(new, old, key_col="doc_id")
 
 
+KHOP_SEEDS = ("spark", "data")
+
+
+def q40_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph query over the materialized KG: 2-hop neighborhoods of two
+    seed canonicals (operators/graph.py::k_hop — frontier-expansion BFS,
+    per-level work |frontier ⋈ edges|, min-dist semantics via the
+    per-level anti-join). The oracle unrolls the two levels as CTEs with
+    the same NOT-EXISTS minimality condition."""
+    from quickner_spark.operators.graph import k_hop
+
+    return k_hop(q28_kg_edges(spark, sf_dir), list(KHOP_SEEDS), 2)
+
+
+def q41_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph query over the materialized KG: per-node degree/weight table
+    (operators/graph.py::degree_stats — two map-side-combined aggregates
+    + one node-sized outer join)."""
+    from quickner_spark.operators.graph import degree_stats
+
+    return degree_stats(q28_kg_edges(spark, sf_dir), weight="weight")
+
+
+def q42_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node importance over the materialized KG: 3 fixed PageRank
+    iterations in INTEGER arithmetic (operators/graph.py::pagerank) —
+    int64 ranks at scale 10^9, integer-division contributions, so the
+    result is bit-identical on any engine regardless of aggregation
+    order (the quantized-scoring trick applied to an iterative graph
+    algorithm; production default is double). Dangling mass not
+    redistributed — documented operator variant, restated identically
+    by the oracle's unrolled CTEs."""
+    from quickner_spark.operators.graph import pagerank
+
+    return pagerank(q28_kg_edges(spark, sf_dir), iters=3,
+                    arithmetic="integer")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -657,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_spacy_export": q37_spacy_export,
         "q38_latest_events": q38_latest_events,
         "q39_snapshot_delta": q39_snapshot_delta,
+        "q40_khop": q40_khop,
+        "q41_degrees": q41_degrees,
+        "q42_pagerank": q42_pagerank,
     }
 
 
@@ -787,6 +828,46 @@ def oracle_sql() -> dict[str, str]:
     lsh_cte = _lsh_sig_cte(n_planes=4, n_tables=16, seed=42)
     ivf_cte = _ivf_cte(nlist=16, nprobe=4, iters=2, k=5,
                        probe_list=probe_list)
+    # shared CTE chain ending in e(src, dst, pred, weight) — the q28 edge
+    # materialization, reused by the graph-query oracles q40-q42
+    edges_chain = f"""{cte},
+preds(pred) AS (VALUES {pred_values}),
+{_alias_values_sql()},
+t AS (
+  SELECT m1.doc_id, m1.surface AS subj, p.pred, m2.surface AS obj
+  FROM mentions m1
+  JOIN mentions m2 ON m1.doc_id = m2.doc_id
+  CROSS JOIN preds p
+  JOIN d ON d.doc_id = m1.doc_id
+  WHERE m2."start" = m1."end" + 2 + length(p.pred)
+    AND substring(d.text, CAST(m1."end" AS INT) + 2, length(p.pred)) = p.pred
+    AND substring(d.text, CAST(m1."end" AS INT) + 1, 1) = ' '
+    AND substring(d.text, CAST(m1."end" + length(p.pred) AS INT) + 2, 1) = ' '
+),
+amap AS (
+  SELECT alias, arg_max(canonical_id, prior) AS cid FROM al GROUP BY alias
+),
+e AS (
+  SELECT sm.cid AS src, om.cid AS dst, t.pred, count(*) AS weight
+  FROM t
+  JOIN amap sm ON t.subj = sm.alias
+  JOIN amap om ON t.obj = om.alias
+  GROUP BY 1, 2, 3
+)"""
+    seeds_values = ", ".join(f"('{s}')" for s in KHOP_SEEDS)
+    # q42: 3 integer-PageRank iterations unrolled (scale 10^9, damping
+    # 85/100 — base term (10^9*15)//100; integer division matches the
+    # engine's `div` exactly on non-negative ranks)
+    pr_chain = []
+    for i in range(3):
+        pr_chain.append(f"""
+c{i + 1} AS (SELECT e2.dst AS node,
+            sum((r."rank" * 85) // (100 * deg.d)) AS s
+        FROM e2 JOIN r{i} r ON r.node = e2.src
+        JOIN deg ON deg.src = e2.src GROUP BY 1),
+r{i + 1} AS (SELECT n.node, 150000000 + coalesce(c{i + 1}.s, 0) AS "rank"
+        FROM nodes n LEFT JOIN c{i + 1} ON c{i + 1}.node = n.node)""")
+    pr_iters = ",".join(pr_chain)
     return {
         "q24_ivf_knn": f"""
 WITH {ivf_cte}
@@ -1342,6 +1423,45 @@ SELECT n.doc_id, n.digest,
        CAST(NULL AS INTEGER) AS old_snap
 FROM new n LEFT JOIN old o USING (doc_id)
 WHERE o.doc_id IS NULL OR o.digest <> n.digest
+""",
+        # q40: 2-hop BFS unrolled; h2's NOT EXISTS is the min-dist rule
+        "q40_khop": f"""
+WITH {edges_chain},
+seeds(seed) AS (VALUES {seeds_values}),
+eu AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+h1 AS (SELECT DISTINCT s.seed, eu.v AS node
+       FROM seeds s JOIN eu ON eu.u = s.seed
+       WHERE eu.v <> s.seed),
+h2 AS (SELECT DISTINCT h1.seed, eu.v AS node
+       FROM h1 JOIN eu ON eu.u = h1.node
+       WHERE eu.v <> h1.seed
+         AND NOT EXISTS (SELECT 1 FROM h1 x
+                         WHERE x.seed = h1.seed AND x.node = eu.v))
+SELECT seed, node, 1 AS dist FROM h1
+UNION ALL
+SELECT seed, node, 2 AS dist FROM h2
+""",
+        "q41_degrees": f"""
+WITH {edges_chain},
+outd AS (SELECT src AS node, count(*) AS out_deg, sum(weight) AS w_out
+         FROM e GROUP BY 1),
+ind  AS (SELECT dst AS node, count(*) AS in_deg, sum(weight) AS w_in
+         FROM e GROUP BY 1)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.out_deg, 0) AS out_deg,
+       coalesce(i.in_deg, 0) AS in_deg,
+       coalesce(o.w_out, 0) AS w_out,
+       coalesce(i.w_in, 0) AS w_in
+FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+""",
+        "q42_pagerank": f"""
+WITH {edges_chain},
+e2 AS (SELECT DISTINCT src, dst FROM e),
+nodes AS (SELECT src AS node FROM e2 UNION SELECT dst AS node FROM e2),
+deg AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS "rank" FROM nodes),
+{pr_iters}
+SELECT node, "rank" AS rank FROM r3
 """,
     }
 

@@ -24,7 +24,121 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "k_hop", "degree_stats", "pagerank"]
+
+
+def k_hop(edges: DataFrame, seeds, k: int, src: str = "src",
+          dst: str = "dst", directed: bool = True) -> DataFrame:
+    """(seed, node, dist): every node reachable from each seed within
+    ``k`` hops, ``dist`` = MINIMUM hop count (1..k; the seed itself is
+    excluded). ``seeds`` is a list of node ids or a single-column
+    DataFrame.
+
+    Frontier-expansion BFS: exactly ``k`` equi-joins of the CURRENT
+    frontier (not the visited set) against the edge list, with a
+    per-level anti-join so a node is emitted at its first (minimal)
+    depth only — the standard distributed BFS shape: per-level work is
+    |frontier ⋈ edges|, never |visited| × |edges|, and k is a small
+    constant so the plan is k fixed stages, no unbounded iteration.
+    Each level is ``localCheckpoint``-ed because it is reused twice
+    (as the next frontier and inside the visited anti-join)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+    e = e.distinct()
+    if isinstance(seeds, DataFrame):
+        sdf = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+    else:
+        node_type = edges.schema[src].dataType
+        sdf = spark.createDataFrame(
+            [(s,) for s in seeds],
+            StructType([StructField("seed", node_type, False)]))
+    visited = sdf.select("seed", F.col("seed").alias("node"),
+                         F.lit(0).alias("dist"))
+    frontier = visited
+    for d in range(1, k + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["u"])
+               .select("seed", F.col("v").alias("node"),
+                       F.lit(d).alias("dist"))
+               .distinct()
+               .join(visited.select("seed", "node"), ["seed", "node"],
+                     "left_anti")
+               .localCheckpoint())
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.where(F.col("dist") > 0)
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 weight: str | None = None) -> DataFrame:
+    """Per-node degree table (node, out_deg, in_deg, w_out, w_in) over
+    the directed edge list; with ``weight=None`` the weighted columns
+    equal the counts. Two map-side-combined aggregates + one outer join
+    on the (node-sized, not edge-sized) results."""
+    w = F.col(weight) if weight else F.lit(1)
+    out = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.count("*").alias("out_deg"),
+                F.sum(w).alias("w_out")))
+    inn = (edges.groupBy(F.col(dst).alias("node"))
+           .agg(F.count("*").alias("in_deg"),
+                F.sum(w).alias("w_in")))
+    return (out.join(inn, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("w_out", F.lit(0)).alias("w_out"),
+                    F.coalesce("w_in", F.lit(0)).alias("w_in")))
+
+
+def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
+             dst: str = "dst", damping_pct: int = 85,
+             arithmetic: str = "double", scale: int = 10 ** 9) -> DataFrame:
+    """Fixed-iteration PageRank over the distinct directed edge list;
+    returns (node, rank). Per iteration: ONE edge-sized join (ranks are
+    node-keyed, the natural shuffle key) + one map-side-combined sum —
+    no driver action, lineage cut per round with ``localCheckpoint``.
+
+    Variant notes (both restated exactly by the q42 oracle):
+    * dangling-node mass is NOT redistributed — the correction needs a
+      global scalar sync per iteration and only rescales ranks;
+      comparisons/top-k are unaffected.
+    * ``arithmetic="integer"``: ranks are int64 at ``scale``;
+      contributions use integer division (``rank * damping_pct DIV
+      (100 * out_deg)``) — addition of int64 is associative, so the
+      result is BIT-IDENTICAL on any engine regardless of sum order,
+      which is what makes the cross-engine oracle exact (same trick as
+      the quantized-cosine scoring in simsearch). Production default is
+      double."""
+    if arithmetic not in ("double", "integer"):
+        raise ValueError(f"unknown arithmetic: {arithmetic!r}")
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    nodes = (e.select(F.col(src).alias("node"))
+             .union(e.select(F.col(dst).alias("node"))).distinct())
+    deg = e.groupBy(src).agg(F.count("*").alias("__d"))
+    ej = e.join(deg, src)
+    integer = arithmetic == "integer"
+    if integer:
+        init = F.lit(scale).cast("long")
+        base = F.lit((scale * (100 - damping_pct)) // 100).cast("long")
+        contrib = F.expr(f"(__r * {damping_pct}) div (100 * __d)")
+    else:
+        init = F.lit(1.0)
+        base = F.lit((100 - damping_pct) / 100.0)
+        contrib = F.col("__r") * (damping_pct / 100.0) / F.col("__d")
+    ranks = nodes.select("node", init.alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        r = ranks.select(F.col("node").alias("__n"),
+                         F.col("rank").alias("__r"))
+        s = (ej.join(r, ej[src] == r["__n"])
+             .select(F.col(dst).alias("node"), contrib.alias("__c"))
+             .groupBy("node").agg(F.sum("__c").alias("__s")))
+        ranks = (nodes.join(s, "node", "left")
+                 .select("node",
+                         (base + F.coalesce("__s", F.lit(0))).alias("rank"))
+                 .localCheckpoint())
+    return ranks
 
 
 def _driver_components(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -43,8 +43,8 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "warc_record_bytes", "write_warc_file",
-           "parse_warc_stream", "latest_by_url"]
+__all__ = ["read_warc", "stream_warc", "warc_record_bytes",
+           "write_warc_file", "parse_warc_stream", "latest_by_url"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -156,21 +156,10 @@ def parse_warc_stream(data: bytes, *, strict: bool = False,
         }
 
 
-def read_warc(spark: SparkSession, path: str, *, strict: bool = False,
-              record_types: tuple[str, ...] = ("response",),
-              path_glob: str | None = None) -> DataFrame:
-    """Distributed WARC scan -> pages DataFrame
-    ``(url, warc_ts, html, text=NULL, lang=NULL)``.
-
-    ``path_glob`` (e.g. ``"*.warc.gz"``) is pushed to the binaryFile
-    source as ``pathGlobFilter`` so non-archive files in the directory
-    are pruned at listing time, before any bytes move.
-    """
-    reader = spark.read.format("binaryFile")
-    if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
-    files = reader.load(path).select("path", "content")
-
+def _framing_kernel(strict: bool, record_types: tuple[str, ...]):
+    """Arrow-batched (path, content) -> pages framing kernel, shared by
+    the batch (:func:`read_warc`) and streaming (:func:`stream_warc`)
+    scans — one archive's bytes are framed entirely within its task."""
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
@@ -188,7 +177,54 @@ def read_warc(spark: SparkSession, path: str, *, strict: bool = False,
             out["lang"] = pd.Series([None] * len(out), dtype="object")
             yield out
 
-    return files.mapInPandas(parse, PAGES_SCHEMA)
+    return parse
+
+
+def read_warc(spark: SparkSession, path: str, *, strict: bool = False,
+              record_types: tuple[str, ...] = ("response",),
+              path_glob: str | None = None) -> DataFrame:
+    """Distributed WARC scan -> pages DataFrame
+    ``(url, warc_ts, html, text=NULL, lang=NULL)``.
+
+    ``path_glob`` (e.g. ``"*.warc.gz"``) is pushed to the binaryFile
+    source as ``pathGlobFilter`` so non-archive files in the directory
+    are pruned at listing time, before any bytes move.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_framing_kernel(strict, record_types),
+                             PAGES_SCHEMA)
+
+
+# the binaryFile source's fixed schema; streaming file sources require it
+# declared up front (no inference pass over an unbounded directory)
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def stream_warc(spark: SparkSession, path: str, *, strict: bool = False,
+                record_types: tuple[str, ...] = ("response",),
+                path_glob: str = "*.warc*",
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """STREAMING WARC scan: a directory where crawl archives keep landing
+    (the Common-Crawl segment-drop model) -> an unbounded pages DataFrame
+    with the same schema and framing kernel as :func:`read_warc`. Feed it
+    to ``streaming.kg_stream.incremental_kg`` for a continuously-updated
+    KG: each micro-batch is a set of whole archives (archive-per-task,
+    same as the batch scan), the file-source checkpoint makes batch
+    composition restart-stable, and ``max_files_per_trigger`` bounds
+    per-batch work (backpressure for bursty segment drops)."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", path_glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_framing_kernel(strict, record_types),
+                             PAGES_SCHEMA)
 
 
 def latest_by_url(pages: DataFrame) -> DataFrame:

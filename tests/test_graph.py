@@ -94,3 +94,64 @@ def test_sparse_convergence_check_matches_every_round(spark):
               connected_components(df, driver_threshold=0,
                                    check_every=3).collect()}
     assert every == sparse and every
+
+
+def test_k_hop_directed_min_dist(spark):
+    from quickner_spark.operators.graph import k_hop
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string")
+    got = {(r["seed"], r["node"], r["dist"])
+           for r in k_hop(e, ["a"], 2).collect()}
+    # c is reachable at dist 1 AND 2 — only the minimum is emitted
+    assert got == {("a", "b", 1), ("a", "c", 1), ("a", "d", 2)}
+
+
+def test_k_hop_undirected_and_df_seeds(spark):
+    from quickner_spark.operators.graph import k_hop
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("d",)], "s string")
+    got = {(r["node"], r["dist"])
+           for r in k_hop(e, seeds, 2, directed=False).collect()}
+    assert got == {("c", 1), ("a", 2), ("b", 2)}
+
+
+def test_degree_stats(spark):
+    from quickner_spark.operators.graph import degree_stats
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("c", "a", 2)],
+        "src string, dst string, w long")
+    got = {r["node"]: (r["out_deg"], r["in_deg"], r["w_out"], r["w_in"])
+           for r in degree_stats(e, weight="w").collect()}
+    assert got == {"a": (2, 1, 4, 2), "b": (0, 1, 0, 3),
+                   "c": (1, 1, 2, 1)}
+
+
+def test_pagerank_integer_hand_computed(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iters=2, arithmetic="integer",
+                             scale=100).collect()}
+    # r0=100 all; base=15; int-div contributions:
+    # iter1: a->42 each to b,c; b->85 to c; c->85 to d
+    #   => a=15 b=57 c=142 d=100
+    # iter2: a->(15*85)div200=6; b->(57*85)div100=48; c->(142*85)div100=120
+    #   => a=15 b=21 c=69 d=135
+    assert got == {"a": 15, "b": 21, "c": 69, "d": 135}
+
+
+def test_pagerank_double_ordering_tracks_integer(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string")
+    d = {r["node"]: r["rank"]
+         for r in pagerank(e, iters=5, arithmetic="double").collect()}
+    order = sorted(d, key=d.get)
+    assert order == ["a", "b", "c", "d"] or order == ["a", "b", "d", "c"]
+    assert all(v > 0 for v in d.values())

@@ -171,3 +171,58 @@ def test_latest_by_url_keeps_newest_capture(spark, tmp_path):
     rows = {r["url"]: bytes(r["html"]) for r in out}
     assert rows == {"http://a/x": b"<p>new capture</p>",
                     "http://b/y": HTML_B}
+
+
+def test_stream_warc_incremental_kg(spark, tmp_path):
+    """Archives landing in a directory drive the incremental KG: two
+    segment drops -> two micro-batches; final mentions/triples tables are
+    row-identical to one batch run over both archives, and the second run
+    (same checkpoint) processes ONLY the newly-landed archive."""
+    from quickner_spark.sources.warc import stream_warc
+    from quickner_spark.streaming import incremental_kg, kg_batch_increment
+
+    gaz = corpus.synth_gazetteer(60, 5)
+    pages = corpus.synth_pages(spark, 24, seed=5, gaz_size=60,
+                               partitions=1).collect()
+    src = tmp_path / "drop"
+    src.mkdir()
+
+    def archive(rows, name):
+        recs = [warc_record_bytes(
+            r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            bytes(r["html"])) for r in rows]
+        write_warc_file(str(src / name), recs)
+
+    out = tmp_path / "kg"
+    m_path, t_path = str(out / "mentions"), str(out / "triples")
+    ckpt = str(out / "ckpt")
+
+    def run_available():
+        q = incremental_kg(
+            stream_warc(spark, str(src)), gaz, corpus.PREDICATES,
+            m_path, t_path, ckpt)
+        q.awaitTermination(120)
+
+    archive(pages[:12], "seg-0.warc.gz")
+    run_available()
+    archive(pages[12:], "seg-1.warc.gz")
+    run_available()
+
+    got_m = spark.read.parquet(m_path)
+    batch_ids = {r["batch_id"] for r in
+                 got_m.select("batch_id").distinct().collect()}
+    assert len(batch_ids) == 2  # second run processed only the new drop
+    urls_b1 = {r["url"] for r in
+               got_m.where(got_m.batch_id == max(batch_ids))
+               .select("url").distinct().collect()}
+    assert urls_b1 <= {r["url"] for r in pages[12:]}
+
+    want_m, want_t = kg_batch_increment(
+        read_warc(spark, str(src)), gaz, corpus.PREDICATES)
+    m_cols = ["url", "start", "end", "label", "surface"]
+    t_cols = ["url", "subj", "pred", "obj", "subj_start", "obj_start"]
+    as_set = lambda df, cols: {tuple(r[c] for c in cols)
+                               for r in df.select(*cols).collect()}
+    assert as_set(got_m, m_cols) == as_set(want_m, m_cols)
+    assert as_set(spark.read.parquet(t_path), t_cols) == \
+        as_set(want_t, t_cols)
