@@ -231,3 +231,33 @@ def test_kg_edges_plan_broadcasts_maps(spark):
     plan = _executed(df)
     assert plan.count("BroadcastHashJoin") >= 2  # subj and obj alias maps
     assert "CartesianProduct" not in plan
+
+
+def test_latest_by_key_partial_argmax_before_exchange(spark):
+    """The arg-max snapshot dedup must shuffle ~|keys| condensed rows:
+    partial_max_by runs BEFORE the Exchange, and the Exchange input is
+    the 3-column (key, value-struct, ordering-struct) partial state, not
+    the full input rows."""
+    from quickner_spark.operators.events import latest_by_key
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _executed(latest_by_key(ev, "user_id", "ts"))
+    lines = plan.splitlines()
+    partial_at = next(i for i, l in enumerate(lines)
+                      if "partial_max_by" in l)
+    exchange_at = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    # executedPlan prints top-down: the Exchange node appears ABOVE the
+    # map-side partial aggregate that feeds it
+    assert exchange_at < partial_at, plan
+    assert "Window" not in plan, plan  # not the row_number formulation
+
+
+def test_khop_frontier_joins_and_degree_partial_agg(spark):
+    from quickner_spark.operators.graph import degree_stats, k_hop
+
+    edges = E.q28_kg_edges(spark, SF)
+    plan = _executed(k_hop(edges, ["spark", "data"], 2))
+    assert "CartesianProduct" not in plan, plan
+    dplan = _executed(degree_stats(edges, weight="weight"))
+    assert "partial_count" in dplan or "partial" in dplan, dplan
+    assert "CartesianProduct" not in dplan, dplan
