@@ -267,6 +267,18 @@ class SnapshotKg:
         return {"snap": k, "pages_in": n_in, "changed": n_changed,
                 "committed": True}
 
+    def update_from_warc(self, path: str, *, path_glob: str = "*.warc*",
+                         strict: bool = False) -> dict:
+        """Ingest one crawl snapshot straight from WARC archives: the
+        directory's ``*.warc(.gz)`` files are framed archive-per-task
+        (:func:`sources.warc.read_warc`), revisits within the snapshot
+        resolve to the latest capture (``update`` applies the
+        ``latest_by_key`` arg-max — pages carry ``warc_ts``), then the
+        standard digest-diff delta runs."""
+        from quickner_spark.sources.warc import read_warc
+        return self.update(read_warc(self.spark, path, strict=strict,
+                                     path_glob=path_glob))
+
     def _cur_stats(self, name: str, k: int) -> DataFrame:
         return self.spark.read.parquet(self._v(name, k))
 

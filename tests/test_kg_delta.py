@@ -259,3 +259,40 @@ def test_snapshot_delta_classification(spark):
     got = {(r["url"], r["status"], r["old_snap"])
            for r in snapshot_delta(new, old).collect()}
     assert got == {("b", "changed", 0), ("c", "new", None)}
+
+
+def test_update_from_warc_snapshots(spark, tmp_path):
+    """Two crawl snapshots arriving as WARC archives: snapshot 1 revisits
+    one url (latest capture wins) and changes another; only the changed
+    content is reprocessed."""
+    from quickner_spark.sources.warc import (warc_record_bytes,
+                                             write_warc_file)
+
+    gaz = [("acme", "ORG"), ("globex", "ORG")]
+
+    def arch(d, name, recs):
+        d.mkdir(exist_ok=True)
+        write_warc_file(str(d / name), [
+            warc_record_bytes(u, ts, corpus.page_html(t, u))
+            for u, ts, t in recs])
+
+    s0_dir, s1_dir = tmp_path / "s0", tmp_path / "s1"
+    arch(s0_dir, "a.warc.gz", [
+        ("u1", "2024-01-01T00:00:00Z", "acme acquired globex ."),
+        ("u2", "2024-01-01T00:00:00Z", "globex ships today .")])
+    kg = SnapshotKg(spark, str(tmp_path / "kg"), gaz, ("acquired",))
+    s0 = kg.update_from_warc(str(s0_dir))
+    assert s0 == {"snap": 0, "pages_in": 2, "changed": 2,
+                  "committed": True}
+
+    # snapshot 1: u1 revisited twice (latest capture has different text),
+    # u2 unchanged byte-identical recrawl
+    arch(s1_dir, "b.warc.gz", [
+        ("u1", "2024-06-01T00:00:00Z", "acme is quiet ."),
+        ("u1", "2024-06-02T00:00:00Z", "acme acquired globex today ."),
+        ("u2", "2024-06-01T00:00:00Z", "globex ships today .")])
+    s1 = kg.update_from_warc(str(s1_dir))
+    assert s1["changed"] == 1 and s1["committed"]  # u2 skipped
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in kg.current_triples().collect()}
+    assert got == {("acme", "acquired", "globex")}
