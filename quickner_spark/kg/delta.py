@@ -214,13 +214,16 @@ class SnapshotKg:
         plus_t = triples.groupBy("subj", "pred", "obj").agg(
             F.count("*").alias("n"))
         if prev is not None:
+            pruning = self._replaced_pruning(replaced, replaced.count())
             lstats = self._merge(self._cur_stats("linked_stats", prev),
                                  plus_l, self._minus("linked", replaced,
-                                                     ["surface", "label"]),
+                                                     ["surface", "label"],
+                                                     pruning),
                                  ["surface", "label"])
             tstats = self._merge(self._cur_stats("triple_stats", prev),
                                  plus_t, self._minus("triples", replaced,
-                                                     ["subj", "pred", "obj"]),
+                                                     ["subj", "pred", "obj"],
+                                                     pruning),
                                  ["subj", "pred", "obj"])
         else:
             lstats, tstats = plus_l, plus_t
@@ -282,14 +285,44 @@ class SnapshotKg:
     def _cur_stats(self, name: str, k: int) -> DataFrame:
         return self.spark.read.parquet(self._v(name, k))
 
-    def _minus(self, table: str, replaced: DataFrame, keys) -> DataFrame:
+    # below this many replaced urls, the subtraction scan pushes a
+    # literal IN-list into the parquet source (row-group min/max skipping
+    # on url-sorted files); above it, the join's runtime filtering is the
+    # scale mechanism and a megabyte-scale literal plan would hurt
+    MINUS_PUSHDOWN_MAX = 10_000
+
+    def _replaced_pruning(self, replaced: DataFrame, n_replaced: int):
+        """Bounded driver-side pruning info for the subtraction scans,
+        computed ONCE per update: the distinct OLD snaps (at most the
+        snapshot count — always collectable) and, only when the delta is
+        small, the url IN-list. Never collects an unbounded url set."""
+        snaps = sorted(r["snap"] for r in
+                       replaced.select("snap").distinct().collect())
+        urls = ([r["url"] for r in replaced.select("url").collect()]
+                if n_replaced <= self.MINUS_PUSHDOWN_MAX else None)
+        return snaps, urls
+
+    def _minus(self, table: str, replaced: DataFrame, keys,
+               pruning) -> DataFrame:
         """Negative counts of the replaced urls' OLD rows: read the
         per-snapshot partitions, join on (url, snap) — exactly the rows
         the old manifest pointed at (each url's rows are written once per
-        content change, under the snap that processed it)."""
-        old = (self.spark.read.parquet(f"{self.base}/{table}")
-               .join(replaced, ["url", "snap"]))
-        return old.groupBy(*keys).agg((-F.count("*")).alias("n"))
+        content change, under the snap that processed it).
+
+        Scan pruning, two levels: (a) the replaced rows' distinct OLD
+        snaps become a literal partition filter — snapshots no replaced
+        url lives in are never listed; (b) when the delta is small the
+        url list is additionally pushed into the parquet scan as an IN
+        filter, so row-group min/max stats skip unrelated data. The
+        (url, snap) join stays either way — it is the correctness
+        contract; the pushdowns only shrink what the scan feeds it."""
+        snaps, urls = pruning
+        old = self.spark.read.parquet(f"{self.base}/{table}")
+        old = old.where(F.col("snap").isin(snaps) if snaps else F.lit(False))
+        if urls is not None:
+            old = old.where(F.col("url").isin(urls))
+        return (old.join(replaced, ["url", "snap"])
+                .groupBy(*keys).agg((-F.count("*")).alias("n")))
 
     @staticmethod
     def _merge(old: DataFrame, plus: DataFrame, minus: DataFrame,
@@ -330,9 +363,10 @@ class SnapshotKg:
 
     def _current_rows(self, table: str) -> DataFrame:
         """Current view of a per-snapshot doc-local table: rows whose
-        (url, snap) the manifest points at. Doc-keyed equi-join whose
-        build side carries the partition column — DPP-eligible; after
-        ``compact()`` it degenerates to a single-partition scan."""
+        (url, snap) the manifest points at. One doc-keyed equi-join —
+        the same shuffle shape as every other doc-keyed stage join;
+        after ``compact()`` the table side is a single snap partition,
+        so the view's history tax is bounded by compaction cadence."""
         rows = self.spark.read.parquet(f"{self.base}/{table}")
         cur = self.manifest().select("url", "snap")
         return rows.join(cur, ["url", "snap"]).drop("snap")
