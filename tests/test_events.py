@@ -91,3 +91,24 @@ def test_latest_by_key_composite_key_and_column_set(spark):
     assert out.columns == ["a", "b", "ts", "v"]
     assert {(r["a"], r["b"], r["v"]) for r in out.collect()} == \
         {(1, "x", 2.0), (1, "y", 3.0)}
+
+
+def test_latest_by_key_differential_random(spark):
+    """latest_by_key vs a pure-Python arg-max with the full-row
+    lexicographic tie-break, on a seeded random table dense with ties."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(8), dt.datetime(2024, 1, 1 + rng.randrange(3)),
+             rng.choice("ab"), float(rng.randrange(4)))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, s string, "
+                                     "v double")
+    want = {}
+    for k, ts, s, v in rows:
+        cand = (ts, s, v)
+        if k not in want or cand > want[k]:
+            want[k] = cand
+    got = {r["k"]: (r["ts"], r["s"], r["v"])
+           for r in ev.latest_by_key(df, "k", "ts").collect()}
+    assert got == want

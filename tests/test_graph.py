@@ -155,3 +155,72 @@ def test_pagerank_double_ordering_tracks_integer(spark):
     order = sorted(d, key=d.get)
     assert order == ["a", "b", "c", "d"] or order == ["a", "b", "d", "c"]
     assert all(v > 0 for v in d.values())
+
+
+def test_k_hop_differential_random_graph(spark):
+    """k_hop vs a pure-Python BFS on a seeded random digraph — directed
+    and undirected, k=3, multiple seeds, min-dist semantics."""
+    import random
+
+    from quickner_spark.operators.graph import k_hop
+
+    rng = random.Random(1234)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = [nodes[0], nodes[7], nodes[23]]
+
+    def bfs(adj, seed, k):
+        dist, frontier = {seed: 0}, [seed]
+        for d in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return {(seed, n, d) for n, d in dist.items() if d > 0}
+
+    for directed in (True, False):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+            if not directed:
+                adj.setdefault(v, []).append(u)
+        want = set().union(*(bfs(adj, s, 3) for s in seeds))
+        got = {(r["seed"], r["node"], r["dist"])
+               for r in k_hop(e, seeds, 3, directed=directed).collect()}
+        assert got == want, (directed, got ^ want)
+
+
+def test_pagerank_integer_differential_random_graph(spark):
+    """Integer pagerank vs a pure-Python reimplementation on a seeded
+    random digraph — same integer division, same dangling rule."""
+    import random
+
+    from quickner_spark.operators.graph import pagerank
+
+    rng = random.Random(99)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes))
+                  for _ in range(70)})
+    e = spark.createDataFrame(edges, "src string, dst string")
+    scale, iters = 10 ** 6, 4
+
+    ns = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: scale for n in ns}
+    base = (scale * 15) // 100
+    for _ in range(iters):
+        acc = {n: 0 for n in ns}
+        for u, v in edges:
+            acc[v] += (r[u] * 85) // (100 * deg[u])
+        r = {n: base + acc[n] for n in ns}
+    got = {x["node"]: x["rank"]
+           for x in pagerank(e, iters=iters, arithmetic="integer",
+                             scale=scale).collect()}
+    assert got == r
