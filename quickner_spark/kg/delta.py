@@ -233,9 +233,23 @@ class SnapshotKg:
         tstats = spark.read.parquet(self._v("triple_stats", k))
 
         # 4. canonicalization + derived nodes/edges — gazetteer-bounded
-        # inputs, same derivation as the batch pipeline's s_nodes/s_edges
-        aliases = canonicalize_aliases(
-            lstats.select(F.col("surface").alias("alias")).distinct())
+        # inputs, same derivation as the batch pipeline's s_nodes/s_edges.
+        # The alias SET usually survives a snapshot unchanged (counts move,
+        # surfaces rarely appear/disappear) — detect that with two
+        # exceptAll counts on the gazetteer-bounded surface sets and skip
+        # the similarity-join + connected-components rerun entirely: the
+        # canonical map is a pure function of the alias set.
+        surfaces = lstats.select(F.col("surface").alias("alias")).distinct()
+        aliases_reused = False
+        if prev is not None:
+            prev_amap = spark.read.parquet(self._v("aliases", prev))
+            prev_surf = prev_amap.select("alias")
+            if (surfaces.exceptAll(prev_surf).isEmpty()
+                    and prev_surf.exceptAll(surfaces).isEmpty()):
+                aliases = prev_amap
+                aliases_reused = True
+        if not aliases_reused:
+            aliases = canonicalize_aliases(surfaces)
         aliases.write.mode("overwrite").parquet(self._v("aliases", k))
         amap = spark.read.parquet(self._v("aliases", k))
 
@@ -268,7 +282,7 @@ class SnapshotKg:
         _write_text(self.spark, f"{self.base}/{_CURRENT}",
                     json.dumps({"snap": k}))
         return {"snap": k, "pages_in": n_in, "changed": n_changed,
-                "committed": True}
+                "committed": True, "aliases_reused": aliases_reused}
 
     def update_from_warc(self, path: str, *, path_glob: str = "*.warc*",
                          strict: bool = False) -> dict:

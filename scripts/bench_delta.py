@@ -75,7 +75,7 @@ def main() -> None:
     s0 = kg.update(spark.read.parquet(a_path))
     wall_init = time.time() - t
     assert s0 == {"snap": 0, "pages_in": N_DOCS, "changed": N_DOCS,
-                  "committed": True}, s0
+                  "committed": True, "aliases_reused": False}, s0
     nodes0, edges0 = _rows(kg.nodes()), _rows(kg.edges())
     n_triples = kg.current_triples().count()
 

@@ -101,7 +101,7 @@ def rebuild(spark, tmp_path_factory, gaz, snapshots):
 def test_update_stats_count_only_changed(store, snapshots):
     _, s0, s1 = store
     assert s0 == {"snap": 0, "pages_in": N_DOCS, "changed": N_DOCS,
-                  "committed": True}
+                  "committed": True, "aliases_reused": False}
     assert s1["snap"] == 1 and s1["committed"]
     assert s1["pages_in"] == N_DOCS + N_NEW
     assert s1["changed"] == len(snapshots["changed"]) + N_NEW
@@ -283,7 +283,7 @@ def test_update_from_warc_snapshots(spark, tmp_path):
     kg = SnapshotKg(spark, str(tmp_path / "kg"), gaz, ("acquired",))
     s0 = kg.update_from_warc(str(s0_dir))
     assert s0 == {"snap": 0, "pages_in": 2, "changed": 2,
-                  "committed": True}
+                  "committed": True, "aliases_reused": False}
 
     # snapshot 1: u1 revisited twice (latest capture has different text),
     # u2 unchanged byte-identical recrawl
@@ -296,3 +296,29 @@ def test_update_from_warc_snapshots(spark, tmp_path):
     got = {(r["subj"], r["pred"], r["obj"])
            for r in kg.current_triples().collect()}
     assert got == {("acme", "acquired", "globex")}
+
+
+def test_alias_set_reuse_fast_path(spark, tmp_path):
+    """An update that changes counts but not the alias SET reuses the
+    previous canonical map (no CC rerun); one that changes the set
+    recomputes it."""
+    gaz = [("acme", "ORG"), ("globex", "ORG")]
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, corpus.page_html(t, u), t, "en") for u, t in rows],
+            "url string, html binary, text string, lang string")
+
+    kg = SnapshotKg(spark, str(tmp_path / "kg"), gaz, ())
+    kg.update(pages([("u1", "acme and globex ."), ("u2", "acme again .")]))
+    # u2 changes but still mentions only acme: alias set unchanged
+    s1 = kg.update(pages([("u1", "acme and globex ."),
+                          ("u2", "acme acme twice .")]))
+    assert s1["aliases_reused"] is True
+    assert {r["canonical_id"]: r["n_mentions"]
+            for r in kg.nodes().collect()} == {"acme": 3, "globex": 1}
+    # u1 drops globex: alias set shrinks -> recompute
+    s2 = kg.update(pages([("u1", "acme alone ."),
+                          ("u2", "acme acme twice .")]))
+    assert s2["aliases_reused"] is False
+    assert {r["alias"] for r in kg.aliases().collect()} == {"acme"}
