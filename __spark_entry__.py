@@ -599,6 +599,18 @@ def q42_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     arithmetic="integer")
 
 
+def q43_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG interchange export (sinks/formats.py::ntriples_lines): the
+    materialized edges as W3C N-Triples lines — IRI percent-encoding of
+    the canonical ids (min-alias canonicals may contain spaces) done
+    JVM-side as a codegen-able replace chain; the oracle restates the
+    same concat/replace chain, so agreement proves the ENCODING, not
+    just the plumbing."""
+    from quickner_spark.sinks.formats import ntriples_lines
+
+    return ntriples_lines(q28_kg_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -698,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_khop": q40_khop,
         "q41_degrees": q41_degrees,
         "q42_pagerank": q42_pagerank,
+        "q43_ntriples_export": q43_ntriples_export,
     }
 
 
@@ -855,6 +868,16 @@ e AS (
   GROUP BY 1, 2, 3
 )"""
     seeds_values = ", ".join(f"('{s}')" for s in KHOP_SEEDS)
+
+    def _nt_sql(expr: str) -> str:
+        # the same percent-encoding chain as sinks.formats._nt_iri,
+        # '%' first so already-encoded ids cannot double-decode
+        for raw, enc in [("%", "%25"), (" ", "%20"), ("<", "%3C"),
+                         (">", "%3E"), ('"', "%22"), ("{", "%7B"),
+                         ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
+                         ("`", "%60"), ("\\", "%5C")]:
+            expr = f"replace({expr}, '{raw}', '{enc}')"
+        return expr
     # q42: 3 integer-PageRank iterations unrolled (scale 10^9, damping
     # 85/100 — base term (10^9*15)//100; integer division matches the
     # engine's `div` exactly on non-negative ranks)
@@ -1462,6 +1485,14 @@ deg AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
 r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS "rank" FROM nodes),
 {pr_iters}
 SELECT node, "rank" AS rank FROM r3
+""",
+        "q43_ntriples_export": f"""
+WITH {edges_chain}
+SELECT '<http://example.org/kg/e/' || {_nt_sql('src')}
+       || '> <http://example.org/kg/p/' || {_nt_sql('pred')}
+       || '> <http://example.org/kg/e/' || {_nt_sql('dst')}
+       || '> .' AS value
+FROM e
 """,
     }
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
     "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
-    "spacy_lines", "conll_lines", "brat_lines",
+    "spacy_lines", "conll_lines", "brat_lines", "ntriples_lines",
 ]
 
 
@@ -297,3 +297,37 @@ def spacy_generator(df: DataFrame, chunks: int | None = None):
         size = max(len(docs), 1)
     for i in range(0, len(docs), size):
         yield docs[i:i + size]
+
+
+# N-Triples IRI-unsafe characters (W3C N-Triples grammar: IRIREF excludes
+# control chars, space and <>"{}|^`\). '%' is escaped FIRST so encoded
+# ids round-trip even if a raw id already contains a percent sign.
+_NT_UNSAFE = [("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+              ('"', "%22"), ("{", "%7B"), ("}", "%7D"), ("|", "%7C"),
+              ("^", "%5E"), ("`", "%60"), ("\\", "%5C")]
+
+
+def _nt_iri(col):
+    for raw, enc in _NT_UNSAFE:
+        col = F.replace(col, F.lit(raw), F.lit(enc))
+    return col
+
+
+def ntriples_lines(edges: DataFrame, base_iri: str = "http://example.org/kg/",
+                   subj_col: str = "src", pred_col: str = "pred",
+                   obj_col: str = "dst",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """KG interchange sink: one W3C N-Triples line per edge/triple —
+    ``<{base}e/{subj}> <{base}p/{pred}> <{base}e/{obj}> .`` — ready for
+    ``.write.text`` into any RDF toolchain. IRI-unsafe characters in the
+    canonical ids / predicates (spaces in min-alias canonicals, etc.)
+    are percent-encoded JVM-side; the whole line is a codegen-able
+    concat/replace chain, no Python. Works on the pipeline's ``edges``
+    table (src, dst, pred) or directly on ``triples``
+    (``subj_col="subj", obj_col="obj"``)."""
+    ent = lambda c: F.concat(F.lit(f"<{base_iri}e/"),
+                             _nt_iri(F.col(c)), F.lit(">"))
+    prd = F.concat(F.lit(f"<{base_iri}p/"),
+                   _nt_iri(F.col(pred_col)), F.lit(">"))
+    line = F.concat_ws(" ", ent(subj_col), prd, ent(obj_col), F.lit("."))
+    return edges.select(*keep_cols, line.alias("value"))

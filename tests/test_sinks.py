@@ -235,3 +235,31 @@ def test_json_line_writers_escape_hostile_text(spark):
         assert r["value"] == expected
     got = {json.loads(r["value"])[0] for r in sk.spacy_lines(df).collect()}
     assert got == {t for _, t, _ in rows}
+
+
+def test_ntriples_lines_byte_exact_and_escaped(spark):
+    from quickner_spark.sinks.formats import ntriples_lines
+
+    e = spark.createDataFrame(
+        [("acme analytics", "acquired by", "globex"),
+         ("a%b<c>", 'p"q', "x\\y")],
+        "src string, pred string, dst string")
+    got = sorted(r["value"] for r in ntriples_lines(e).collect())
+    assert got == sorted([
+        "<http://example.org/kg/e/acme%20analytics> "
+        "<http://example.org/kg/p/acquired%20by> "
+        "<http://example.org/kg/e/globex> .",
+        "<http://example.org/kg/e/a%25b%3Cc%3E> "
+        "<http://example.org/kg/p/p%22q> "
+        "<http://example.org/kg/e/x%5Cy> .",
+    ])
+
+
+def test_ntriples_lines_on_triples_table(spark):
+    from quickner_spark.sinks.formats import ntriples_lines
+
+    t = spark.createDataFrame([("s", "p", "o")],
+                              "subj string, pred string, obj string")
+    (row,) = ntriples_lines(t, base_iri="urn:kg/", subj_col="subj",
+                            obj_col="obj").collect()
+    assert row["value"] == "<urn:kg/e/s> <urn:kg/p/p> <urn:kg/e/o> ."
