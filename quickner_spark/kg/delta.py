@@ -104,7 +104,15 @@ class SnapshotKg:
     not a deletion). Revisits WITHIN a snapshot are resolved to the
     latest capture first when a ``warc_ts`` column is present
     (:func:`operators.events.latest_by_key` arg-max — the same operator
-    WARC ingest uses)."""
+    WARC ingest uses).
+
+    Single-writer contract: one ``update``/``compact`` at a time per
+    ``base_dir`` (crawl snapshots are inherently sequential). A crashed
+    writer is safe — the ``_CURRENT`` pointer is written last, so a
+    retry overwrites the orphan ``v{K}``/``snap=K`` files; two LIVE
+    writers racing the same snapshot number are not coordinated (use an
+    external scheduler lock, or Iceberg catalog mode where commits are
+    atomic)."""
 
     def __init__(self, spark: SparkSession, base_dir: str,
                  gazetteer, predicates=(), extractor=None,
