@@ -155,3 +155,123 @@ def test_messy_web_pipeline_equals_clean_synthetic(spark, tmp_path):
         assert canon(p_clean.table(st), cols) == \
             canon(p_messy.table(st), cols), st
     assert p_messy.table("triples").count() > 0
+
+
+# --- fast-scanner vs reference-parser differential -----------------------
+
+def _reference_extract(html, min_words=5, max_link_density=0.5):
+    """extract_text_web semantics, forced through the HTMLParser path."""
+    from quickner_spark.kg import webextract as W
+    if html is None:
+        return None
+    try:
+        raw = html.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    try:
+        blocks = W._blocks_reference(raw)
+    except Exception:
+        return None
+    content = []
+    for (text, n_chars, n_anchor) in blocks:
+        n_words = sum(1 for w in text.split()
+                      if any(c.isalnum() for c in w))
+        dense = n_chars > 0 and (n_anchor / n_chars) > max_link_density
+        content.append(False if dense else n_words >= min_words)
+    for j in range(1, len(blocks) - 1):
+        if not content[j]:
+            _, n_chars, n_anchor = blocks[j]
+            low = n_chars == 0 or (n_anchor / n_chars) <= max_link_density
+            if low and content[j - 1] and content[j + 1]:
+                content[j] = True
+    kept = [b[0] for b, c in zip(blocks, content) if c]
+    return "\n".join(kept) if kept else None
+
+
+HOSTILE_HTML = [
+    # charrefs, bold inline, comments (incl. unterminated + spaced close)
+    b"<body><p>text &amp; more <b>bold</b> stuff here okay fine</p></body>",
+    b"<!-- c1 --><p>alpha beta gamma delta epsilon zeta</p><!-- tail",
+    b"<!--  --  --><p>comment with inner dashes one two three four</p>",
+    b"<p>spacey comment close one two three four five</p><!-- x --   >",
+    b"<p>ent&#65;ity &lt;tag&gt; one two three four five</p>",
+    # CDATA content elements: lookalike close tags must NOT leave CDATA
+    b"<p>one two three four five six</p><script>if (a<b) { x = '</scriptx>'; }"
+    b"</script><p>seven eight nine ten eleven twelve</p>",
+    b"<p>aa bb cc dd ee ff</p><script>var s='</script foo>';</script>"
+    b"<p>gg hh ii jj kk ll</p>",
+    b"<style>p { content: '</style x>' }</style>"
+    b"<p>after style one two three four five</p>",
+    b"<script>unterminated raw text <p>never a block</p>",
+    # quoted '>' in attributes, odd quotes, bare values ending in '/'
+    b"<p title='a>b'>quoted gt one two three four five six</p>",
+    b'<p data-x="y>z">double quoted gt one two three four five</p>',
+    b"<a href=foo/>not closed anchor one two three four five six</a>"
+    b"<p>plain words here one two three four</p>",
+    b"<a href=foo//>bare slashes one two three four five six</a>",
+    b"<p foo=bar'baz>odd quote one two three four five six</p>",
+    # self-closing / void / empty-end / junk-end tags
+    b"<br/><p>void self close one two three four five</p><br />",
+    b"<div/><p>self closing div one two three four five six</p>",
+    b"</><p>empty end tag one two three four five six</p>",
+    b"<p>text</p junk><p>junk end tag one two three four five six</p>",
+    b"</ScRiPt><p>stray end tag one two three four five six</p>",
+    # lone '<' as data, PIs, doctype, marked sections, unicode
+    b"<p>weird < lone lt one two three four five six</p>",
+    b"<p>1 < 2 and 3 > 2 one two three four five</p>",
+    b"<?php echo 'x'; ?><p>after pi one two three four five six</p>",
+    b"<!DOCTYPE html><p>after doctype one two three four five</p>",
+    b"<![CDATA[ raw <p>x</p> ]]><p>after cdata one two three four five</p>",
+    b"<p>unterminated tag one two three four five <a href=",
+    b"<P>UPPER tag one two three four five six</P>",
+    b"<p>caf\xc3\xa9 unicode one two three four five</p>",
+    b"<\xc3\xa9tag>unicode letter after lt one two three four five</p>",
+    # anchor accounting across chunk boundaries
+    b"<a href='/x'>l1</a> <a href='/y'>l2</a>"
+    b"<p>content words one two three four five</p>",
+    b"<div><a>x</a> < <a>y</a></div><p>lt inside anchor block one two"
+    b" three four five</p>",
+    b"<noscript><p>inside noscript dropped</p></noscript>"
+    b"<p>kept words one two three four five</p>",
+    b"<svg><text>svg text dropped</text></svg>"
+    b"<p>after svg one two three four five</p>",
+]
+
+
+def test_fast_scanner_equals_reference_on_hostile_html():
+    for h in HOSTILE_HTML:
+        assert extract_text_web(h) == _reference_extract(h), h
+
+
+def test_fast_scanner_equals_reference_on_corpus_blocks():
+    """Block-level parity (not just final text) on messy + clean pages."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg import webextract as W
+
+    gaz = corpus.synth_gazetteer(200, 42)
+    for i in range(150):
+        text, _ = corpus.page_text(i, gaz, 42)
+        for page in (corpus.page_html_messy(text, f"doc {i}", i),
+                     corpus.page_html(text, f"doc {i}")):
+            raw = page.decode("utf-8")
+            assert W._blocks_fast(raw) == W._blocks_reference(raw), i
+
+
+def test_fast_scanner_fuzz_differential():
+    """Random tag soup: the fast path (with its _Bail fallback) must match
+    the reference parser byte-for-byte on arbitrary fragment orderings."""
+    import random
+
+    rng = random.Random(421)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br/>",
+        "<script>", "</script>", "<style>", "</style>", "<!-- c -->",
+        "<!--", "-->", "<b>", "</b>", "&amp;", "&lt;", "<", ">", "one",
+        "two three", "alpha beta gamma delta epsilon", " ", "\n",
+        "<p title='a>b'>", "<a href=foo/>", "<!DOCTYPE html>", "<?pi?>",
+        "</>", "<![CDATA[x]]>", "<x y=\"z>w\">", "lone words here now",
+    ]
+    for trial in range(300):
+        doc = "".join(rng.choice(frags)
+                      for _ in range(rng.randrange(1, 40))).encode("utf-8")
+        assert extract_text_web(doc) == _reference_extract(doc), doc
