@@ -611,6 +611,26 @@ def q43_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntriples_lines(q28_kg_edges(spark, sf_dir))
 
 
+# basic graph pattern for q44: a 3-pattern chain over the KG edges —
+# two 'join' hops then a 'scan' hop; each element is a constant or '?var'
+BGP_PATTERNS = (("?a", "join", "?b"), ("?b", "join", "?c"),
+                ("?c", "scan", "?d"))
+
+
+def q44_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive graph-pattern query (SPARQL-BGP core) over the
+    materialized KG (operators/graph.py::match_patterns): each pattern is
+    a constant-filtered projection of the edge table (predicate pushed to
+    the scan), patterns equi-join on shared variable bindings in greedy
+    most-selective-first order — never a cartesian product for a
+    connected BGP. Bag semantics; the oracle restates the same three
+    scans joined with USING on the shared variables."""
+    from quickner_spark.operators.graph import match_patterns
+
+    return match_patterns(q28_kg_edges(spark, sf_dir), BGP_PATTERNS,
+                          subj="src", pred="pred", obj="dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_degrees": q41_degrees,
         "q42_pagerank": q42_pagerank,
         "q43_ntriples_export": q43_ntriples_export,
+        "q44_pattern_match": q44_pattern_match,
     }
 
 
@@ -1493,6 +1514,17 @@ SELECT '<http://example.org/kg/e/' || {_nt_sql('src')}
        || '> <http://example.org/kg/e/' || {_nt_sql('dst')}
        || '> .' AS value
 FROM e
+""",
+        # q44: BGP_PATTERNS restated — one constant-filtered scan per
+        # pattern, inner-joined on the shared variables (bag semantics;
+        # inner joins commute on multisets, so Spark's greedy join order
+        # needs no mirroring here)
+        "q44_pattern_match": f"""
+WITH {edges_chain}
+SELECT p0.a, p0.b, p1.c, p2.d
+FROM (SELECT src AS a, dst AS b FROM e WHERE pred = 'join') p0
+JOIN (SELECT src AS b, dst AS c FROM e WHERE pred = 'join') p1 USING (b)
+JOIN (SELECT src AS c, dst AS d FROM e WHERE pred = 'scan') p2 USING (c)
 """,
     }
 

@@ -24,7 +24,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
-__all__ = ["connected_components", "k_hop", "degree_stats", "pagerank"]
+__all__ = ["connected_components", "k_hop", "degree_stats", "pagerank",
+           "match_patterns"]
+
+
+def match_patterns(triples: DataFrame, patterns,
+                   subj: str = "subj", pred: str = "pred",
+                   obj: str = "obj") -> DataFrame:
+    """Conjunctive basic-graph-pattern matching (the SPARQL-BGP core)
+    over a (subj, pred, obj) triple table: ``patterns`` is a sequence of
+    ``(s, p, o)`` tuples whose elements are either constants or
+    ``"?var"`` variables; the result has one column per variable, one
+    row per satisfying assignment (bag semantics — duplicate triples
+    multiply, exactly like SPARQL without DISTINCT).
+
+        match_patterns(t, [("?a", "acquired", "?b"),
+                           ("?b", "acquired", "?c")])
+        -> DataFrame[a, b, c]   # 2-chains of acquisitions
+
+    Plan shape (the reason this is a composition, not a UDF): each
+    pattern becomes a filtered PROJECTION of the triple table — constant
+    positions are pushed to the scan as equality predicates (parquet
+    PushedFilters), variable positions are column aliases, a variable
+    repeated within one pattern becomes an in-scan self-equality — then
+    patterns join on their shared variable columns. Join order is
+    greedy: most-constants-first (most selective scan seeds the chain),
+    then always a pattern sharing >=1 bound variable, so a connected BGP
+    never degrades to a cartesian product; genuinely disconnected
+    pattern groups crossJoin, which IS their semantics (documented,
+    caller-visible). Fully-ground patterns act as existence filters via
+    a broadcast ``limit(1)`` crossJoin (0 or 1 rows — the whole result
+    empties when the ground triple is absent). At 10^12-triple scale
+    every join is an equi-shuffle on variable bindings; AQE handles
+    skewed bindings the same way it handles any hot join key."""
+    pats = [tuple(p) for p in patterns]
+    if not pats:
+        raise ValueError("match_patterns: need at least one pattern")
+    var_order: list[str] = []  # first-appearance output order
+    scans: list[tuple[DataFrame, frozenset[str]]] = []
+    n_consts: list[int] = []
+    for idx, pat in enumerate(pats):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {idx}: need (s, p, o), got {pat!r}")
+        df = triples
+        sel, bound = [], {}
+        consts = 0
+        for val, col in zip(pat, (subj, pred, obj)):
+            if isinstance(val, str) and val.startswith("?"):
+                var = val[1:]
+                if not var:
+                    raise ValueError(f"pattern {idx}: bare '?' variable")
+                if var in bound:  # repeated var inside one pattern
+                    df = df.filter(F.col(col) == F.col(bound[var]))
+                else:
+                    bound[var] = col
+                    sel.append(F.col(col).alias(var))
+                    if var not in var_order:
+                        var_order.append(var)
+            else:
+                df = df.filter(F.col(col) == F.lit(val))
+                consts += 1
+        if sel:
+            scans.append((df.select(*sel), frozenset(bound)))
+        else:  # ground pattern: existence constraint
+            scans.append((df.select(F.lit(1).alias(f"__exists_{idx}"))
+                          .limit(1), frozenset()))
+        n_consts.append(consts)
+    order = sorted(range(len(scans)), key=lambda i: -n_consts[i])
+    first, *rest = order
+    out, seen = scans[first][0], set(scans[first][1])
+    remaining = list(rest)
+    while remaining:
+        nxt = next((i for i in remaining if scans[i][1] & seen),
+                   remaining[0])  # fallback: disconnected -> crossJoin
+        remaining.remove(nxt)
+        df, vs = scans[nxt]
+        shared = sorted(vs & seen)
+        if shared:
+            out = out.join(df, on=shared)
+        elif not vs:  # ground existence: 0-or-1 broadcast rows
+            out = out.crossJoin(F.broadcast(df))
+        else:
+            out = out.crossJoin(df)
+        seen |= vs
+    keep = [v for v in var_order if v in seen]
+    return out.select(*keep) if keep else out
 
 
 def k_hop(edges: DataFrame, seeds, k: int, src: str = "src",

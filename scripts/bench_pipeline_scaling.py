@@ -93,9 +93,11 @@ def main() -> None:
     if not os.path.exists(os.path.join(pages, "_SUCCESS")):
         os.makedirs(BASE, exist_ok=True)
         _gen_pages(pages)
-    if not os.path.exists(ZIP):
-        subprocess.run(["zip", "-qr", ZIP, "quickner_spark"],
-                       cwd=REPO, check=True)
+    # always rebuild: a stale zip silently benchmarks yesterday's code
+    if os.path.exists(ZIP):
+        os.remove(ZIP)
+    subprocess.run(["zip", "-qr", ZIP, "quickner_spark"],
+                   cwd=REPO, check=True)
     runs: dict[int, list[dict]] = {LO: [], HI: []}
     for i in range(INTERLEAVES):
         for cores in (LO, HI):

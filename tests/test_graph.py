@@ -224,3 +224,74 @@ def test_pagerank_integer_differential_random_graph(spark):
            for x in pagerank(e, iters=iters, arithmetic="integer",
                              scale=scale).collect()}
     assert got == r
+
+
+# --- match_patterns (SPARQL-BGP-lite) -------------------------------------
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [("a", "acq", "b"), ("b", "acq", "c"), ("c", "acq", "d"),
+         ("a", "at", "x"), ("d", "at", "x"), ("e", "self", "e"),
+         ("f", "self", "g")],
+        "subj string, pred string, obj string")
+
+
+def test_match_patterns_chain(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    r = match_patterns(_triples(spark),
+                       [("?a", "acq", "?b"), ("?b", "acq", "?c")])
+    assert r.columns == ["a", "b", "c"]
+    assert sorted(tuple(x) for x in r.collect()) == [
+        ("a", "b", "c"), ("b", "c", "d")]
+
+
+def test_match_patterns_repeated_var_in_one_pattern(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    r = match_patterns(_triples(spark), [("?x", "self", "?x")])
+    assert [tuple(x) for x in r.collect()] == [("e",)]
+
+
+def test_match_patterns_ground_pattern_is_existence_filter(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    t = _triples(spark)
+    present = match_patterns(t, [("?a", "acq", "?b"), ("a", "at", "x")])
+    assert present.count() == 3  # constraint holds: full acq relation
+    absent = match_patterns(t, [("?a", "acq", "?b"), ("zzz", "at", "x")])
+    assert absent.count() == 0  # constraint fails: empty result
+
+
+def test_match_patterns_disconnected_is_cross_product(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    r = match_patterns(_triples(spark),
+                       [("?a", "acq", "?b"), ("?c", "self", "?c")])
+    assert sorted(tuple(x) for x in r.collect()) == [
+        ("a", "b", "e"), ("b", "c", "e"), ("c", "d", "e")]
+
+
+def test_match_patterns_join_order_invariance(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    t = _triples(spark)
+    pats = [("?a", "acq", "?b"), ("?b", "acq", "?c"), ("?c", "at", "?w")]
+    fwd = sorted(tuple(x) for x in match_patterns(t, pats).collect())
+    rev = sorted(tuple(sorted_row) for sorted_row in (
+        (r["a"], r["b"], r["c"], r["w"])
+        for r in match_patterns(t, list(reversed(pats))).collect()))
+    assert fwd == [("b", "c", "d", "x")]
+    assert rev == fwd
+
+
+def test_match_patterns_validation(spark):
+    from quickner_spark.operators.graph import match_patterns
+
+    t = _triples(spark)
+    with pytest.raises(ValueError):
+        match_patterns(t, [])
+    with pytest.raises(ValueError):
+        match_patterns(t, [("?a", "acq")])
+    with pytest.raises(ValueError):
+        match_patterns(t, [("?", "acq", "?b")])
