@@ -631,6 +631,47 @@ def q44_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                           subj="src", pred="pred", obj="dst")
 
 
+def _synth_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages-with-anchors table derived from ``documents``
+    for the hyperlink-graph query: every resolution branch of
+    kg/weblinks.py (absolute+fragment, scheme-relative, path-absolute,
+    host-root relative, mailto) appears, quote styles mixed, with a
+    parity-gated duplicate anchor so edge weights exceed 1. Constructed
+    with the SAME concat expression the oracle restates, so q45 verifies
+    extraction+resolution+aggregation, not the synthesis."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda m: (i % m).cast("string")  # noqa: E731
+    return d.select(
+        F.concat(F.lit("https://d"), s(7), F.lit(".example.com/docs/"),
+                 i.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<nav><a href="/about">about</a> <a href=\'p/'), s(5),
+            F.lit('\'>rel</a></nav><p><a href="https://h'), s(11),
+            F.lit('.example.org/x#sec">ext</a>'),
+            F.when(i % 2 == 0,
+                   F.concat(F.lit('<a href="https://h'), s(11),
+                            F.lit('.example.org/y">again</a>'))
+                   ).otherwise(F.lit("")),
+            F.lit("<a href='//cdn"), s(3),
+            F.lit(".example.net/a.js'>cdn</a>"),
+            F.lit('<a href="mailto:a@b.c">mail</a></p>')).alias("html"))
+
+
+def q45_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level hyperlink graph (kg/weblinks.py — the Common-Crawl
+    webgraph shape): regexp anchor scan + explode (zero shuffle), the
+    simplified-RFC-3986 resolution CASE, and one output-bounded
+    (src_host, dst_host) count with a map-side partial aggregate.
+    ``keep_self=True`` so the path-absolute / relative branches stay
+    observable in the result; the oracle restates scan, resolution, and
+    grouping over the identically-constructed html."""
+    from quickner_spark.kg.weblinks import extract_links, host_graph
+
+    return host_graph(extract_links(_synth_link_pages(spark, sf_dir)),
+                      keep_self=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -732,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pagerank": q42_pagerank,
         "q43_ntriples_export": q43_ntriples_export,
         "q44_pattern_match": q44_pattern_match,
+        "q45_host_graph": q45_host_graph,
     }
 
 
@@ -1525,6 +1567,59 @@ SELECT p0.a, p0.b, p1.c, p2.d
 FROM (SELECT src AS a, dst AS b FROM e WHERE pred = 'join') p0
 JOIN (SELECT src AS b, dst AS c FROM e WHERE pred = 'join') p1 USING (b)
 JOIN (SELECT src AS c, dst AS d FROM e WHERE pred = 'scan') p2 USING (c)
+""",
+        # q45: the hyperlink host graph — anchor regexp scan, fragment
+        # strip, the same 4-branch resolution CASE (order matters: '//'
+        # before '/'), host extraction ('' on no authority), grouped
+        # anchor counts. html synthesized from documents with the same
+        # concat the Spark side uses (_synth_link_pages).
+        "q45_host_graph": """
+WITH pages AS (
+  SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
+         '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
+         || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
+         || '.example.org/x#sec">ext</a>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<a href="https://h' || (doc_id % 11)
+                      || '.example.org/y">again</a>'
+                 ELSE '' END
+         || '<a href=''//cdn' || (doc_id % 3)
+         || '.example.net/a.js''>cdn</a>'
+         || '<a href="mailto:a@b.c">mail</a></p>' AS html
+  FROM documents
+),
+links AS (
+  SELECT url,
+         unnest(regexp_extract_all(
+             html, '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS href
+  FROM pages
+),
+resolved AS (
+  SELECT url,
+         CASE WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+              WHEN h LIKE '//%' THEN
+                regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+                || ':' || h
+              WHEN h LIKE '/%' THEN
+                regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || h
+              ELSE
+                regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || '/' || h
+         END AS abs_url
+  FROM (SELECT url, split_part(href, '#', 1) AS h FROM links)
+),
+hosts AS (
+  SELECT lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS src_host,
+         lower(regexp_extract(abs_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host
+  FROM resolved
+)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM hosts
+WHERE src_host <> '' AND dst_host <> ''
+GROUP BY 1, 2
 """,
     }
 

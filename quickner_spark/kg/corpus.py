@@ -136,7 +136,8 @@ def page_html(text: str, title: str) -> bytes:
             f"<footer>generated</footer></body></html>").encode("utf-8")
 
 
-def page_html_messy(text: str, title: str, i: int, seed: int = 42) -> bytes:
+def page_html_messy(text: str, title: str, i: int, seed: int = 42,
+                    outlink_hosts: int = 0) -> bytes:
     """Real-web-shaped html for the boilerplate-aware extractor
     (``kg.webextract.extract_text_web``): the content paragraph is buried
     under deterministic chrome — a nav link bar, two link-farm lists whose
@@ -158,6 +159,17 @@ def page_html_messy(text: str, title: str, i: int, seed: int = 42) -> bytes:
         f'<li><a href="/t/{j}">{_ORG_A[(r >> j) % len(_ORG_A)]} '
         f'{_ORG_B[(r >> (j + 2)) % len(_ORG_B)]}</a></li>'
         for j in range(8))
+    # optional cross-host chrome for hyperlink-graph work (kg.weblinks):
+    # 4 deterministic absolute anchors to a bounded host universe. The
+    # block is link-dense, so the boilerplate classifier drops it and the
+    # byte-identical text-extraction invariant is untouched; default 0
+    # keeps every existing corpus byte-for-byte.
+    ext = ""
+    if outlink_hosts:
+        ext = "<div class=\"partners\"><ul>" + "".join(
+            f'<li><a href="https://h{(r >> (5 * j)) % outlink_hosts}'
+            f'.example.org/p/{j}">partner {j}</a></li>'
+            for j in range(4)) + "</ul></div>"
     return (
         f"<html><head><title>{esc(title)}</title>"
         "<style>body{margin:0;font:14px sans-serif}</style>"
@@ -165,7 +177,7 @@ def page_html_messy(text: str, title: str, i: int, seed: int = 42) -> bytes:
         f"<nav>{nav}</nav>"
         f'<div class="sidebar"><ul>{farm}</ul></div>'
         f"<article><p>{esc(text)}</p></article>"
-        f'<div class="related"><ul>{farm}</ul></div>'
+        f'{ext}<div class="related"><ul>{farm}</ul></div>'
         '<footer><a href="/about">about</a> | '
         '<a href="/contact">contact</a> | copyright</footer>'
         "</body></html>").encode("utf-8")
@@ -176,7 +188,8 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 sents_per_page: int = 1,
                 html_style: str = "clean",
                 hot_name_share: float = 0.0,
-                hot_domain_share: float = 0.0) -> DataFrame:
+                hot_domain_share: float = 0.0,
+                outlink_hosts: int = 0) -> DataFrame:
     """Distributed generation of the pages table. Hot-domain skew: domain
     rank chosen Zipf-style, so ~40% of urls land on one domain.
     ``sents_per_page`` > 1 concatenates that many generated pages into one
@@ -194,7 +207,12 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
     skew case for every surface-keyed aggregate and join);
     ``hot_domain_share`` routes that fraction of urls to ONE domain
     prefix (hot-host crawl skew; url-keyed plans must stay balanced
-    because bucket/shuffle keys hash the FULL url)."""
+    because bucket/shuffle keys hash the FULL url).
+
+    ``outlink_hosts`` (messy style only): add a 4-anchor cross-host
+    "partners" block per page over a universe of that many external hosts
+    (:mod:`kg.weblinks` evidence corpus; default 0 = byte-identical to
+    every earlier corpus)."""
     if html_style not in ("clean", "messy"):
         raise ValueError(f"unknown html_style: {html_style!r}")
     gaz = synth_gazetteer(gaz_size, seed)
@@ -223,8 +241,10 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                     domain = _zipf_pick(_DOMAINS, r)
                 urls.append(f"https://{domain}/doc/{i}")
                 tss.append(epoch + dt.timedelta(seconds=i % 864000))
-                htmls.append(page_html_messy(text, f"doc {i}", i, seed)
-                             if messy else page_html(text, f"doc {i}"))
+                htmls.append(
+                    page_html_messy(text, f"doc {i}", i, seed,
+                                    outlink_hosts=outlink_hosts)
+                    if messy else page_html(text, f"doc {i}"))
                 texts.append(text)
                 langs.append(_LANGS[(r >> 8) % len(_LANGS)])
             yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls,

@@ -468,7 +468,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       table_prefix: str = "kg",
                       fuse: bool = True,
                       extractor=None,
-                      pages_format: str = "parquet") -> Pipeline:
+                      pages_format: str = "parquet",
+                      link_graph: bool = False) -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
     directories; ``bucket=("url", N)``: bucketed session-catalog tables
@@ -491,7 +492,13 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     reads Common-Crawl-style archives via :func:`sources.warc.read_warc`
     (``pages_path`` then points at a directory of ``*.warc`` /
     ``*.warc.gz`` files); downstream stages are format-agnostic because
-    both readers emit the same pages schema."""
+    both readers emit the same pages schema.
+
+    ``link_graph=True`` appends a ``host_edges`` stage — the host-level
+    hyperlink graph (:mod:`quickner_spark.kg.weblinks`) built from the raw
+    pages' anchors, the Common-Crawl webgraph shape. Independent of the
+    entity stages; ``operators.graph`` queries (PageRank, k-hop, degrees)
+    run on it unchanged."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -507,12 +514,14 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     if pages_format not in ("parquet", "warc"):
         raise ValueError(f"unknown pages_format: {pages_format!r}")
 
-    def s_extract(spark, ctx):
+    def _read_pages(spark):
         if pages_format == "warc":
             from quickner_spark.sources.warc import read_warc
-            pages = read_warc(spark, pages_path, path_glob="*.warc*")
-        else:
-            pages = spark.read.parquet(pages_path)
+            return read_warc(spark, pages_path, path_glob="*.warc*")
+        return spark.read.parquet(pages_path)
+
+    def s_extract(spark, ctx):
+        pages = _read_pages(spark)
         if fuse:
             return extract_annotate_stage(pages, gaz, window=pred_window,
                                           extractor=extractor)
@@ -613,7 +622,14 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     # linked/triples outputs are consumed by surface-/alias-keyed joins
     # and aggregates, so bucket-sorting them on url would sort the two
     # largest tables in the pipeline for zero benefit.
-    return Pipeline(spark, base_dir, [
+    def s_host_edges(spark, ctx):
+        # reads the raw pages (html) — the extract table dropped the
+        # markup the anchors live in. Scan + explode + output-bounded
+        # aggregate; independent of every other stage.
+        from quickner_spark.kg.weblinks import extract_links, host_graph
+        return host_graph(extract_links(_read_pages(spark)))
+
+    stages = [
         Stage("extract", s_extract),
         # (url, start) sort order feeds the triples join's object side
         # pre-sorted (obj_start aliases start) — see Stage.bucket_sort
@@ -625,4 +641,8 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         Stage("aliases", s_aliases),
         Stage("nodes", s_nodes),
         Stage("edges", s_edges, partition_by=("pred",)),
-    ], catalog=catalog, bucket=bucket, table_prefix=table_prefix)
+    ]
+    if link_graph:
+        stages.append(Stage("host_edges", s_host_edges, bucket_output=False))
+    return Pipeline(spark, base_dir, stages,
+                    catalog=catalog, bucket=bucket, table_prefix=table_prefix)

@@ -1,0 +1,104 @@
+"""Hyperlink-graph construction over crawled pages (web-scale extension).
+
+Common Crawl's own derived datasets (the host- and domain-level webgraphs)
+are exactly this job: every page contributes its outgoing anchors, hrefs
+resolve against the page url, and the host-level graph is the grouped
+count. The reference engine has no link surface (it never sees html —
+quickner.rs ingests plain text), so this module is part of the
+beyond-inventory crawl operating mode (SURVEY §2.10), feeding
+``operators.graph`` (PageRank / k-hop / degree stats run unchanged on the
+host graph).
+
+Everything is JVM-side column work — one regexp scan per page, an explode,
+and an aggregate — so the operator inherits parquet pushdown and
+whole-stage codegen; no Python touches the corpus.
+
+Scale shape: :func:`extract_links` is scan + explode (zero shuffle);
+:func:`host_graph` shuffles only (src_host, dst_host) pair counts after a
+map-side partial aggregate — output-bounded, independent of corpus size.
+Hot hosts (the crawl's head domains) are absorbed by the partial aggregate
+the same way the entity index absorbs head surfaces.
+
+Resolution semantics (documented simplifications, all shared by the q45
+DuckDB oracle so they are cross-engine pinned):
+
+* hrefs are recognized in ``<a ...>`` tags with quoted values (either
+  quote style); unquoted hrefs are skipped.
+* fragments are stripped before resolution (``page#sec`` == ``page``).
+* scheme-relative ``//host/p`` adopts the page's scheme; absolute paths
+  ``/p`` adopt the page's authority; anything with a scheme stands as-is.
+* RELATIVE PATHS RESOLVE AGAINST THE HOST ROOT, not the page's directory
+  (no RFC 3986 dot-segment merge). The HOST-level graph — this module's
+  output — is invariant to that simplification: either resolution lands
+  on the same host.
+* non-hierarchical schemes (``mailto:``, ``javascript:``) resolve to
+  themselves, yield an empty host, and are dropped by :func:`host_graph`.
+* IPv6 literal authorities and userinfo are not parsed (rare in crawl
+  data; they yield a truncated host rather than an error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["extract_links", "resolve_href", "host_of", "host_graph"]
+
+# one capture group, either quote style (a mismatched-quote href like
+# href="x' matches too — harmless: real pages don't survive it either way)
+HREF_PATTERN = '<a\\s[^>]*href\\s*=\\s*["\']([^"\']*)["\']'
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, href) — one row per anchor href occurrence, document order.
+
+    Pure scan work: ``regexp_extract_all`` + ``explode``; binary html
+    columns are decoded as UTF-8 in-plan. Repeated identical anchors on a
+    page each emit a row (the host graph's edge weight counts anchors)."""
+    html: Column = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
+        html = F.decode(html, "UTF-8")
+    hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
+    return pages.select(F.col(url_col).alias("url"),
+                        F.explode(hrefs).alias("href"))
+
+
+def resolve_href(url: Column, href: Column) -> Column:
+    """Absolute form of ``href`` found on page ``url`` (simplified
+    RFC 3986 — see module docstring)."""
+    h = F.substring_index(href, "#", 1)  # strip fragment
+    scheme = F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    base = F.concat(scheme, F.lit("://"), authority)
+    return (F.when(h.rlike(_SCHEME_RE), h)
+             .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+             .when(h.startswith("/"), F.concat(base, h))
+             .otherwise(F.concat(base, F.lit("/"), h)))
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of an absolute url, port stripped; '' when the url
+    has no ``://`` authority (mailto:, javascript:, malformed)."""
+    return F.lower(F.regexp_extract(
+        url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+
+def host_graph(links: DataFrame, url_col: str = "url",
+               href_col: str = "href",
+               keep_self: bool = False) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level webgraph.
+
+    ``n_links`` counts anchors (a page linking a host 8 times contributes
+    8). Edges whose destination has no host (mailto:, javascript:) are
+    dropped; ``keep_self`` controls intra-host edges (default dropped —
+    nav/footer chrome otherwise dominates every host's row)."""
+    src = host_of(F.col(url_col))
+    dst = host_of(resolve_href(F.col(url_col), F.col(href_col)))
+    out = (links.select(src.alias("src_host"), dst.alias("dst_host"))
+           .where((F.col("dst_host") != "") & (F.col("src_host") != "")))
+    if not keep_self:
+        out = out.where(F.col("src_host") != F.col("dst_host"))
+    return (out.groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))

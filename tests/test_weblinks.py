@@ -1,0 +1,141 @@
+"""Hyperlink-graph construction (kg/weblinks.py): href extraction from raw
+html, simplified RFC 3986 resolution, host-level aggregation, and the
+optional pipeline stage. Beyond-inventory crawl mode (SURVEY §2.10) — the
+reference never sees html (quickner.rs ingests plain text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from quickner_spark.kg.corpus import synth_pages
+from quickner_spark.kg.weblinks import (
+    extract_links, host_graph, host_of, resolve_href)
+
+
+def _resolve(spark, url: str, href: str) -> str:
+    df = spark.createDataFrame([Row(url=url, href=href)])
+    return df.select(
+        resolve_href(F.col("url"), F.col("href")).alias("r")).head()["r"]
+
+
+def test_resolve_href_branches(spark):
+    base = "https://www.Example.com:8080/a/b?q=1"
+    # absolute stands as-is (fragment stripped)
+    assert _resolve(spark, base, "https://other.org/x#frag") == \
+        "https://other.org/x"
+    # scheme-relative adopts the page scheme
+    assert _resolve(spark, base, "//cdn.example.net/lib.js") == \
+        "https://cdn.example.net/lib.js"
+    # path-absolute adopts the page authority (port kept in authority)
+    assert _resolve(spark, base, "/about") == \
+        "https://www.Example.com:8080/about"
+    # relative resolves against the host root (documented simplification)
+    assert _resolve(spark, base, "p/1") == \
+        "https://www.Example.com:8080/p/1"
+    # non-hierarchical schemes stand as-is
+    assert _resolve(spark, base, "mailto:x@y.z") == "mailto:x@y.z"
+    assert _resolve(spark, base, "javascript:void(0)") == "javascript:void(0)"
+    # fragment-only collapses to the host root ('' relative)
+    assert _resolve(spark, base, "#top") == \
+        "https://www.Example.com:8080/"
+
+
+def test_host_of(spark):
+    df = spark.createDataFrame(
+        [Row(u="https://WWW.Example.COM:8080/a"),
+         Row(u="http://plain.org"),
+         Row(u="mailto:x@y.z"),
+         Row(u="not a url")])
+    got = [r["h"] for r in
+           df.select(host_of(F.col("u")).alias("h")).collect()]
+    assert got == ["www.example.com", "plain.org", "", ""]
+
+
+def test_extract_links_order_and_quotes(spark):
+    html = (b'<body><a href="/one">1</a> text '
+            b"<a class='x' href='/two'>2</a>"
+            b'<a href="/one">again</a>'
+            b'<a name="no-href">skip</a></body>')
+    df = spark.createDataFrame([Row(url="https://h.org/p", html=html)])
+    rows = extract_links(df).collect()
+    assert [r["href"] for r in rows] == ["/one", "/two", "/one"]
+    assert all(r["url"] == "https://h.org/p" for r in rows)
+
+
+def test_extract_links_string_column(spark):
+    df = spark.createDataFrame(
+        [Row(url="u", html='<a href="https://a.b/c">x</a>')])
+    assert extract_links(df).head()["href"] == "https://a.b/c"
+
+
+def test_host_graph_counts_and_self_edges(spark):
+    html = (b'<a href="https://ext.org/1">a</a>'
+            b'<a href="https://ext.org/2#s">b</a>'   # same host, +1
+            b'<a href="/self">c</a>'                  # self edge
+            b'<a href="mailto:x@y">d</a>')            # no host -> dropped
+    pages = spark.createDataFrame([Row(url="https://me.org/p", html=html)])
+    links = extract_links(pages)
+    g = {(r["src_host"], r["dst_host"]): r["n_links"]
+         for r in host_graph(links).collect()}
+    assert g == {("me.org", "ext.org"): 2}
+    g2 = {(r["src_host"], r["dst_host"]): r["n_links"]
+          for r in host_graph(links, keep_self=True).collect()}
+    assert g2 == {("me.org", "ext.org"): 2, ("me.org", "me.org"): 1}
+
+
+def test_messy_corpus_outlinks_and_extraction_invariant(spark):
+    """outlink_hosts plants a bounded cross-host universe; the partners
+    block is link-dense chrome, so the boilerplate-aware extractor's
+    output (= ground-truth text) is unchanged by it."""
+    from quickner_spark.kg.webextract import extract_text_web
+
+    pages = synth_pages(spark, 40, html_style="messy", outlink_hosts=5)
+    g = host_graph(extract_links(pages))
+    hosts = {r["dst_host"] for r in g.select("dst_host").collect()}
+    assert hosts  # cross-host edges exist
+    assert hosts <= {f"h{k}.example.org" for k in range(5)}
+    # src hosts come from the corpus domain universe, never equal dst
+    for r in g.collect():
+        assert r["src_host"].endswith(".example.org")
+        assert r["src_host"] != r["dst_host"]
+        assert r["n_links"] >= 1
+    # extraction invariant: text recovered byte-identically despite the
+    # extra anchor block
+    bad = (pages.select("text", "html")
+           .withColumn("got", F.udf(extract_text_web)("html"))
+           .where("got is null or got <> text").count())
+    assert bad == 0
+
+
+def test_outlinks_default_off_is_byte_identical(spark):
+    a = synth_pages(spark, 8, html_style="messy").select("url", "html")
+    b = synth_pages(spark, 8, html_style="messy",
+                    outlink_hosts=0).select("url", "html")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_host_edges_stage(spark, tmp_path):
+    """link_graph=True appends the host_edges stage; the table lands next
+    to the entity tables and PageRank runs on it unchanged."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg.pipeline import build_kg_pipeline
+    from quickner_spark.kg.webextract import extract_text_web
+    from quickner_spark.operators.graph import pagerank
+
+    pages_path = str(tmp_path / "pages")
+    synth_pages(spark, 60, html_style="messy",
+                outlink_hosts=4).write.parquet(pages_path)
+    gaz = corpus.synth_gazetteer(99, 42)
+    pipe = build_kg_pipeline(spark, str(tmp_path / "kg"), pages_path,
+                             gaz, corpus.PREDICATES,
+                             extractor=extract_text_web, link_graph=True)
+    pipe.run()
+    he = pipe.table("host_edges")
+    assert set(he.columns) == {"src_host", "dst_host", "n_links"}
+    assert he.count() > 0
+    # graph ops consume it directly
+    pr = pagerank(he.selectExpr("src_host as src", "dst_host as dst"),
+                  iters=3)
+    assert pr.count() > 0
+    # and the entity tables are unaffected by the extra stage
+    assert pipe.table("edges").count() > 0
