@@ -672,6 +672,20 @@ def q45_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                       keep_self=True)
 
 
+def q46_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias-prior dictionary (kg/weblinks.py::
+    anchor_dictionary — the CrossWikis shape): normalized anchor string ×
+    destination host counts with a per-anchor rank (1 = dominant sense,
+    count-desc then host tie-break). Paired href+text capture via
+    arrays_zip, output-bounded pair count behind a map-side partial
+    aggregate, rank window over the AGGREGATED table only. Integer
+    columns throughout, so the oracle (same scan, same resolution CASE,
+    row_number with the same ordering) is value-exact."""
+    from quickner_spark.kg.weblinks import anchor_dictionary
+
+    return anchor_dictionary(_synth_link_pages(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -774,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_ntriples_export": q43_ntriples_export,
         "q44_pattern_match": q44_pattern_match,
         "q45_host_graph": q45_host_graph,
+        "q46_anchor_dictionary": q46_anchor_dictionary,
     }
 
 
@@ -1620,6 +1635,63 @@ SELECT src_host, dst_host, count(*) AS n_links
 FROM hosts
 WHERE src_host <> '' AND dst_host <> ''
 GROUP BY 1, 2
+""",
+        # q46: anchor-text alias-prior dictionary — paired href+text
+        # capture (list_zip of the two capture streams, z[1]/z[2]),
+        # the same resolution CASE as q45 folded to host, normalized
+        # anchor counts, per-anchor rank (count desc, host asc).
+        "q46_anchor_dictionary": """
+WITH pages AS (
+  SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
+         '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
+         || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
+         || '.example.org/x#sec">ext</a>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<a href="https://h' || (doc_id % 11)
+                      || '.example.org/y">again</a>'
+                 ELSE '' END
+         || '<a href=''//cdn' || (doc_id % 3)
+         || '.example.net/a.js''>cdn</a>'
+         || '<a href="mailto:a@b.c">mail</a></p>' AS html
+  FROM documents
+),
+anchors AS (
+  SELECT url, z[1] AS href, z[2] AS anchor FROM (
+    SELECT url, unnest(list_zip(
+        regexp_extract_all(html,
+          '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*>([^<]*)</a>', 1),
+        regexp_extract_all(html,
+          '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*>([^<]*)</a>', 2)
+    )) AS z
+    FROM pages
+  )
+),
+resolved AS (
+  SELECT lower(trim(anchor)) AS anchor,
+         lower(regexp_extract(
+           CASE WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+                WHEN h LIKE '//%' THEN
+                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+                  || ':' || h
+                WHEN h LIKE '/%' THEN
+                  regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || h
+                ELSE
+                  regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || '/' || h
+           END, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host
+  FROM (SELECT url, anchor, split_part(href, '#', 1) AS h FROM anchors)
+),
+counts AS (
+  SELECT anchor, dst_host, count(*) AS n_links
+  FROM resolved
+  WHERE anchor <> '' AND dst_host <> ''
+  GROUP BY 1, 2
+)
+SELECT anchor, dst_host, n_links,
+       row_number() OVER (PARTITION BY anchor
+                          ORDER BY n_links DESC, dst_host) AS rank
+FROM counts
 """,
     }
 

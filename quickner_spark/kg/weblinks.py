@@ -39,14 +39,19 @@ DuckDB oracle so they are cross-engine pinned):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["extract_links", "resolve_href", "host_of", "host_graph"]
+__all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
+           "host_graph", "anchor_dictionary"]
 
 # one capture group, either quote style (a mismatched-quote href like
 # href="x' matches too — harmless: real pages don't survive it either way)
 HREF_PATTERN = '<a\\s[^>]*href\\s*=\\s*["\']([^"\']*)["\']'
+# group 1 = href, group 2 = the anchor's inner text. Plain-text anchors
+# only: nested markup inside <a> (e.g. <a ...><b>x</b></a>) is skipped —
+# the alias-prior use case wants clean surface strings anyway.
+ANCHOR_PATTERN = HREF_PATTERN + "[^>]*>([^<]*)</a>"
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
@@ -63,6 +68,56 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
     return pages.select(F.col(url_col).alias("url"),
                         F.explode(hrefs).alias("href"))
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url, href, anchor) — one row per plain-text anchor, document
+    order. Same scan shape as :func:`extract_links` with the inner text
+    captured alongside the href (``arrays_zip`` keeps the two capture
+    streams paired); anchors containing child tags are skipped
+    (``ANCHOR_PATTERN``)."""
+    html: Column = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
+        html = F.decode(html, "UTF-8")
+    pat = F.lit(ANCHOR_PATTERN)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, pat, F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, pat, F.lit(2)).alias("anchor"))
+    return (pages.select(F.col(url_col).alias("url"),
+                         F.explode(pairs).alias("z"))
+            .select("url", F.col("z.href").alias("href"),
+                    F.col("z.anchor").alias("anchor")))
+
+
+def anchor_dictionary(pages: DataFrame, min_count: int = 1,
+                      url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(anchor, dst_host, n_links, rank) — the anchor-text alias-prior
+    dictionary (the CrossWikis shape: Spitkovsky & Chang 2012, built from
+    web anchor text): how often each normalized (lowercased, trimmed)
+    anchor string points at each destination host, ranked per anchor by
+    count (rank 1 = the anchor's dominant sense, ties broken by host).
+    Anchor text is the web's own high-precision alias signal — rank-1
+    rows feed entity linking as alias priors alongside the gazetteer.
+
+    Scale shape: the pair count is output-bounded behind a map-side
+    partial aggregate (a head anchor like "home" collapses per-partition
+    before the shuffle); the rank window then runs over the AGGREGATED
+    table, so its per-anchor partition is bounded by the number of
+    distinct destination hosts, not by corpus size. Integer columns only
+    — the table is cross-engine exact (q46)."""
+    a = extract_anchors(pages, url_col=url_col, html_col=html_col)
+    pairs = (a.select(
+        F.lower(F.trim("anchor")).alias("anchor"),
+        host_of(resolve_href(F.col("url"), F.col("href"))).alias("dst_host"))
+        .where((F.col("anchor") != "") & (F.col("dst_host") != "")))
+    counts = (pairs.groupBy("anchor", "dst_host")
+              .agg(F.count("*").alias("n_links")))
+    if min_count > 1:
+        counts = counts.where(F.col("n_links") >= min_count)
+    w = Window.partitionBy("anchor").orderBy(F.desc("n_links"), "dst_host")
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def resolve_href(url: Column, href: Column) -> Column:

@@ -9,7 +9,8 @@ from pyspark.sql import Row, functions as F
 
 from quickner_spark.kg.corpus import synth_pages
 from quickner_spark.kg.weblinks import (
-    extract_links, host_graph, host_of, resolve_href)
+    anchor_dictionary, extract_anchors, extract_links, host_graph, host_of,
+    resolve_href)
 
 
 def _resolve(spark, url: str, href: str) -> str:
@@ -81,6 +82,42 @@ def test_host_graph_counts_and_self_edges(spark):
     g2 = {(r["src_host"], r["dst_host"]): r["n_links"]
           for r in host_graph(links, keep_self=True).collect()}
     assert g2 == {("me.org", "ext.org"): 2, ("me.org", "me.org"): 1}
+
+
+def test_extract_anchors_pairing_and_nested_skip(spark):
+    """href and inner text stay paired through the zip; anchors with
+    child markup (not plain text) are skipped."""
+    html = (b'<a href="/x">One </a>'
+            b'<a href="https://a.b/c"><b>bold</b></a>'   # nested -> skipped
+            b"<a href='/y'>two words</a>")
+    df = spark.createDataFrame([Row(url="https://me.org/p", html=html)])
+    rows = [(r["href"], r["anchor"]) for r in extract_anchors(df).collect()]
+    assert rows == [("/x", "One "), ("/y", "two words")]
+
+
+def test_anchor_dictionary_rank_and_normalization(spark):
+    """lower+trim normalization merges surface variants; rank orders by
+    count desc with host tie-break; min_count filters the tail."""
+    html = (b'<a href="https://big.org/1">Acme</a>'
+            b'<a href="https://big.org/2">acme </a>'
+            b'<a href="https://small.org/1">ACME</a>'
+            b'<a href="https://small.org/1">other</a>')
+    df = spark.createDataFrame([Row(url="https://me.org/p", html=html)])
+    d = {(r["anchor"], r["dst_host"]): (r["n_links"], r["rank"])
+         for r in anchor_dictionary(df).collect()}
+    assert d == {("acme", "big.org"): (2, 1),
+                 ("acme", "small.org"): (1, 2),
+                 ("other", "small.org"): (1, 1)}
+    top = anchor_dictionary(df, min_count=2).collect()
+    assert [(r["anchor"], r["dst_host"]) for r in top] == [("acme", "big.org")]
+
+
+def test_anchor_dictionary_rank_tiebreak_is_host_order(spark):
+    html = (b'<a href="https://bbb.org/1">x</a>'
+            b'<a href="https://aaa.org/1">x</a>')
+    df = spark.createDataFrame([Row(url="https://me.org/p", html=html)])
+    got = {r["dst_host"]: r["rank"] for r in anchor_dictionary(df).collect()}
+    assert got == {"aaa.org": 1, "bbb.org": 2}
 
 
 def test_messy_corpus_outlinks_and_extraction_invariant(spark):
