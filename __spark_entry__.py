@@ -686,6 +686,28 @@ def q46_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_dictionary(_synth_link_pages(spark, sf_dir))
 
 
+# homepage seed for q47: the even external hosts of _synth_link_pages,
+# each attributed to a known canonical entity
+ANCHOR_SEED_HOSTS = tuple(
+    (f"h{k}.example.org", f"web_h{k}", "ORG") for k in range(0, 11, 2))
+
+
+def q47_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-discovered entity aliases (kg/weblinks.py::aliases_from_anchors
+    — homepage seeding, the CrossWikis loop): anchors whose top-3
+    destination host is attributed to a known entity become alias rows in
+    the exact (alias, canonical_id, label, prior) shape link_mentions
+    consumes, prior = anchor count. The seed table is broadcast, so the
+    plan adds no shuffle beyond the dictionary's own two."""
+    from quickner_spark.kg.weblinks import aliases_from_anchors
+
+    seed = spark.createDataFrame(
+        list(ANCHOR_SEED_HOSTS), "host string, canonical_id string, "
+                                 "label string")
+    return aliases_from_anchors(q46_anchor_dictionary(spark, sf_dir), seed,
+                                min_links=2, max_rank=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -789,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_pattern_match": q44_pattern_match,
         "q45_host_graph": q45_host_graph,
         "q46_anchor_dictionary": q46_anchor_dictionary,
+        "q47_anchor_aliases": q47_anchor_aliases,
     }
 
 
@@ -1640,8 +1663,32 @@ GROUP BY 1, 2
         # capture (list_zip of the two capture streams, z[1]/z[2]),
         # the same resolution CASE as q45 folded to host, normalized
         # anchor counts, per-anchor rank (count desc, host asc).
-        "q46_anchor_dictionary": """
-WITH pages AS (
+        "q46_anchor_dictionary": f"""
+WITH {_anchor_dict_ctes()}
+SELECT anchor, dst_host, n_links, rank FROM dict
+""",
+        # q47: homepage-seeded alias discovery — the q46 dictionary's
+        # top-ranked rows joined to the seed host->entity table
+        "q47_anchor_aliases": f"""
+WITH {_anchor_dict_ctes()},
+seed(host, canonical_id, label) AS (VALUES {_anchor_seed_values()})
+SELECT d.anchor AS alias, s.canonical_id, s.label,
+       CAST(d.n_links AS INT) AS prior
+FROM dict d JOIN seed s ON d.dst_host = s.host
+WHERE d.rank <= 3 AND d.n_links >= 2
+""",
+    }
+
+
+def _anchor_seed_values() -> str:
+    return ", ".join(f"('{h}', '{c}', '{l}')" for h, c, l in
+                     ANCHOR_SEED_HOSTS)
+
+
+def _anchor_dict_ctes() -> str:
+    """Shared DuckDB CTE chain for q46/q47: synthesized anchor pages ->
+    paired extraction -> resolution -> counts -> ranked ``dict`` table."""
+    return """pages AS (
   SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
          '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
          || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
@@ -1687,13 +1734,13 @@ counts AS (
   FROM resolved
   WHERE anchor <> '' AND dst_host <> ''
   GROUP BY 1, 2
-)
-SELECT anchor, dst_host, n_links,
-       row_number() OVER (PARTITION BY anchor
-                          ORDER BY n_links DESC, dst_host) AS rank
-FROM counts
-""",
-    }
+),
+dict AS (
+  SELECT anchor, dst_host, n_links,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY n_links DESC, dst_host) AS rank
+  FROM counts
+)"""
 
 
 def _langid_sql() -> str:

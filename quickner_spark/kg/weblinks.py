@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
-           "host_graph", "anchor_dictionary"]
+           "host_graph", "anchor_dictionary", "aliases_from_anchors"]
 
 # one capture group, either quote style (a mismatched-quote href like
 # href="x' matches too — harmless: real pages don't survive it either way)
@@ -118,6 +118,29 @@ def anchor_dictionary(pages: DataFrame, min_count: int = 1,
         counts = counts.where(F.col("n_links") >= min_count)
     w = Window.partitionBy("anchor").orderBy(F.desc("n_links"), "dst_host")
     return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def aliases_from_anchors(anchor_dict: DataFrame, host_entities: DataFrame,
+                         min_links: int = 2,
+                         max_rank: int = 1) -> DataFrame:
+    """(alias, canonical_id, label, prior) — web-discovered alias rows in
+    the exact shape :func:`kg.link.link_mentions` consumes (homepage
+    seeding): an anchor whose dominant destination (``rank <= max_rank``,
+    ``n_links >= min_links``) is a host already attributed to a known
+    entity becomes an alias of that entity, with the anchor count as its
+    prior. Union with ``alias_table_from_gazetteer`` to extend linking;
+    feed the new surfaces back into the next crawl round's gazetteer to
+    bootstrap recall (the CrossWikis loop).
+
+    ``host_entities``: a small seed table (host, canonical_id, label) —
+    broadcast, so the join adds no shuffle beyond the dictionary's own."""
+    seed = F.broadcast(host_entities.select("host", "canonical_id", "label"))
+    return (anchor_dict
+            .where((F.col("rank") <= max_rank)
+                   & (F.col("n_links") >= min_links))
+            .join(seed, anchor_dict["dst_host"] == seed["host"])
+            .select(F.col("anchor").alias("alias"), "canonical_id", "label",
+                    F.col("n_links").cast("int").alias("prior")))
 
 
 def resolve_href(url: Column, href: Column) -> Column:

@@ -120,6 +120,40 @@ def test_anchor_dictionary_rank_tiebreak_is_host_order(spark):
     assert got == {"aaa.org": 1, "bbb.org": 2}
 
 
+def test_aliases_from_anchors_feed_link_mentions(spark):
+    """The CrossWikis loop end-to-end: anchors pointing at a seeded
+    homepage become alias rows in link_mentions' shape, and a mention of
+    the NEW surface (absent from the gazetteer) resolves to the right
+    canonical through the unioned alias table."""
+    from quickner_spark.kg.link import (
+        alias_table_from_gazetteer, link_mentions)
+    from quickner_spark.kg.weblinks import (
+        aliases_from_anchors, anchor_dictionary)
+
+    # three pages call acme systems "asys" and link its homepage; one
+    # noise anchor points elsewhere (rank 2, filtered by max_rank=1)
+    html = (b'<a href="https://acmesys.example.com/">asys</a>'
+            b'<a href="https://other.org/">asys</a>')
+    pages = spark.createDataFrame(
+        [Row(url=f"https://p{k}.org/a", html=html) for k in range(3)])
+    seed = spark.createDataFrame(
+        [("acmesys.example.com", "acme_systems", "ORG")],
+        "host string, canonical_id string, label string")
+    web_aliases = aliases_from_anchors(anchor_dictionary(pages), seed)
+    got = web_aliases.collect()
+    assert [(r["alias"], r["canonical_id"], r["label"], r["prior"])
+            for r in got] == [("asys", "acme_systems", "ORG", 3)]
+
+    aliases = alias_table_from_gazetteer(
+        spark, [("acme systems", "ORG")]).unionByName(web_aliases)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the asys platform shipped")])
+    mentions = spark.createDataFrame(
+        [Row(doc_id=1, start=4, end=8, surface="asys", label="ORG")])
+    linked = link_mentions(mentions, docs, aliases).collect()
+    assert len(linked) == 1 and linked[0]["canonical_id"] == "acme_systems"
+
+
 def test_messy_corpus_outlinks_and_extraction_invariant(spark):
     """outlink_hosts plants a bounded cross-host universe; the partners
     block is link-dense chrome, so the boilerplate-aware extractor's
