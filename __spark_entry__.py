@@ -708,6 +708,18 @@ def q47_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 min_links=2, max_rank=3)
 
 
+def q48_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level webgraph (kg/weblinks.py::domain_graph — Common
+    Crawl's second derived graph): the q45 host graph folded to
+    registered domains (last-2-labels with the ccSLD 3-label CASE),
+    intra-domain edges dropped. The fold's input is the already
+    output-bounded host graph, so the re-aggregate never touches the
+    corpus. Oracle restates the label arithmetic on string_split."""
+    from quickner_spark.kg.weblinks import domain_graph
+
+    return domain_graph(q45_host_graph(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -812,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_host_graph": q45_host_graph,
         "q46_anchor_dictionary": q46_anchor_dictionary,
         "q47_anchor_aliases": q47_anchor_aliases,
+        "q48_domain_graph": q48_domain_graph,
     }
 
 
@@ -1611,8 +1624,70 @@ JOIN (SELECT src AS c, dst AS d FROM e WHERE pred = 'scan') p2 USING (c)
         # before '/'), host extraction ('' on no authority), grouped
         # anchor counts. html synthesized from documents with the same
         # concat the Spark side uses (_synth_link_pages).
-        "q45_host_graph": """
-WITH pages AS (
+        "q45_host_graph": f"""
+WITH {_host_graph_ctes()}
+SELECT src_host, dst_host, n_links FROM hg
+""",
+        # q48: the domain-level fold of the q45 host graph — registered
+        # domain = last 2 labels, or 3 when the 2nd-to-last is a ccSLD
+        # label; intra-domain edges dropped, counts summed
+        "q48_domain_graph": f"""
+WITH {_host_graph_ctes()},
+folded AS (
+  SELECT {_domain_sql('src_host')} AS src_domain,
+         {_domain_sql('dst_host')} AS dst_domain,
+         n_links
+  FROM hg
+)
+SELECT src_domain, dst_domain, sum(n_links) AS n_links
+FROM folded
+WHERE src_domain <> dst_domain
+GROUP BY 1, 2
+""",
+        # q46: anchor-text alias-prior dictionary — paired href+text
+        # capture (list_zip of the two capture streams, z[1]/z[2]),
+        # the same resolution CASE as q45 folded to host, normalized
+        # anchor counts, per-anchor rank (count desc, host asc).
+        "q46_anchor_dictionary": f"""
+WITH {_anchor_dict_ctes()}
+SELECT anchor, dst_host, n_links, rank FROM dict
+""",
+        # q47: homepage-seeded alias discovery — the q46 dictionary's
+        # top-ranked rows joined to the seed host->entity table
+        "q47_anchor_aliases": f"""
+WITH {_anchor_dict_ctes()},
+seed(host, canonical_id, label) AS (VALUES {_anchor_seed_values()})
+SELECT d.anchor AS alias, s.canonical_id, s.label,
+       CAST(d.n_links AS INT) AS prior
+FROM dict d JOIN seed s ON d.dst_host = s.host
+WHERE d.rank <= 3 AND d.n_links >= 2
+""",
+    }
+
+
+def _anchor_seed_values() -> str:
+    return ", ".join(f"('{h}', '{c}', '{l}')" for h, c, l in
+                     ANCHOR_SEED_HOSTS)
+
+
+def _domain_sql(col: str) -> str:
+    """DuckDB twin of kg/weblinks.py::domain_of (last-2-labels with the
+    ccSLD 3-label CASE)."""
+    from quickner_spark.kg.weblinks import CC_SLD
+
+    slds = ", ".join(f"'{s}'" for s in CC_SLD)
+    p = f"string_split({col}, '.')"
+    return (f"CASE WHEN len({p}) <= 1 THEN {col} "
+            f"WHEN len({p}) >= 3 AND {p}[-2] IN ({slds}) "
+            f"THEN array_to_string({p}[-3:], '.') "
+            f"ELSE array_to_string({p}[-2:], '.') END")
+
+
+def _host_graph_ctes() -> str:
+    """Shared DuckDB CTE chain for q45/q48: synthesized anchor pages ->
+    href extraction -> resolution -> ``hg`` (the grouped host graph,
+    keep_self semantics)."""
+    return """pages AS (
   SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
          '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
          || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
@@ -1653,36 +1728,13 @@ hosts AS (
          lower(regexp_extract(abs_url,
              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host
   FROM resolved
-)
-SELECT src_host, dst_host, count(*) AS n_links
-FROM hosts
-WHERE src_host <> '' AND dst_host <> ''
-GROUP BY 1, 2
-""",
-        # q46: anchor-text alias-prior dictionary — paired href+text
-        # capture (list_zip of the two capture streams, z[1]/z[2]),
-        # the same resolution CASE as q45 folded to host, normalized
-        # anchor counts, per-anchor rank (count desc, host asc).
-        "q46_anchor_dictionary": f"""
-WITH {_anchor_dict_ctes()}
-SELECT anchor, dst_host, n_links, rank FROM dict
-""",
-        # q47: homepage-seeded alias discovery — the q46 dictionary's
-        # top-ranked rows joined to the seed host->entity table
-        "q47_anchor_aliases": f"""
-WITH {_anchor_dict_ctes()},
-seed(host, canonical_id, label) AS (VALUES {_anchor_seed_values()})
-SELECT d.anchor AS alias, s.canonical_id, s.label,
-       CAST(d.n_links AS INT) AS prior
-FROM dict d JOIN seed s ON d.dst_host = s.host
-WHERE d.rank <= 3 AND d.n_links >= 2
-""",
-    }
-
-
-def _anchor_seed_values() -> str:
-    return ", ".join(f"('{h}', '{c}', '{l}')" for h, c, l in
-                     ANCHOR_SEED_HOSTS)
+),
+hg AS (
+  SELECT src_host, dst_host, count(*) AS n_links
+  FROM hosts
+  WHERE src_host <> '' AND dst_host <> ''
+  GROUP BY 1, 2
+)"""
 
 
 def _anchor_dict_ctes() -> str:

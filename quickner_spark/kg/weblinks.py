@@ -43,7 +43,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
-           "host_graph", "anchor_dictionary", "aliases_from_anchors"]
+           "host_graph", "anchor_dictionary", "aliases_from_anchors",
+           "domain_of", "domain_graph"]
 
 # one capture group, either quote style (a mismatched-quote href like
 # href="x' matches too — harmless: real pages don't survive it either way)
@@ -180,3 +181,41 @@ def host_graph(links: DataFrame, url_col: str = "url",
         out = out.where(F.col("src_host") != F.col("dst_host"))
     return (out.groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links")))
+
+
+# second-level labels under which the registered domain spans THREE labels
+# (shop.co.uk -> shop.co.uk, not co.uk). A pragmatic stand-in for the full
+# Public Suffix List — the handful of generic ccSLD conventions covers the
+# overwhelming share of crawl traffic; swap in a broadcast PSL table for
+# exact semantics.
+CC_SLD = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def domain_of(host: Column) -> Column:
+    """Registered domain of a host: last two labels, or last three when
+    the second-to-last is a known ccSLD label (``CC_SLD``). A host with
+    no dot passes through unchanged."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    take3 = (n >= 3) & F.element_at(parts, -2).isin(*CC_SLD)
+    return (F.when(n <= 1, host)
+             .when(take3, F.concat_ws(".", F.slice(parts, -3, 3)))
+             .otherwise(F.concat_ws(".", F.slice(parts, -2, 2))))
+
+
+def domain_graph(host_edges: DataFrame,
+                 keep_self: bool = False) -> DataFrame:
+    """(src_domain, dst_domain, n_links) — the domain-level webgraph,
+    folded from :func:`host_graph` output (the Common-Crawl derivation
+    order: page -> host graph -> domain graph). The input is already
+    output-bounded, so this re-aggregate touches |hosts²| rows at most,
+    never the corpus; intra-domain edges (host A -> host B of the same
+    registrant) are dropped unless ``keep_self``."""
+    out = (host_edges.select(
+        domain_of(F.col("src_host")).alias("src_domain"),
+        domain_of(F.col("dst_host")).alias("dst_domain"),
+        "n_links"))
+    if not keep_self:
+        out = out.where(F.col("src_domain") != F.col("dst_domain"))
+    return (out.groupBy("src_domain", "dst_domain")
+            .agg(F.sum("n_links").alias("n_links")))

@@ -9,8 +9,8 @@ from pyspark.sql import Row, functions as F
 
 from quickner_spark.kg.corpus import synth_pages
 from quickner_spark.kg.weblinks import (
-    anchor_dictionary, extract_anchors, extract_links, host_graph, host_of,
-    resolve_href)
+    anchor_dictionary, domain_graph, domain_of, extract_anchors,
+    extract_links, host_graph, host_of, resolve_href)
 
 
 def _resolve(spark, url: str, href: str) -> str:
@@ -118,6 +118,33 @@ def test_anchor_dictionary_rank_tiebreak_is_host_order(spark):
     df = spark.createDataFrame([Row(url="https://me.org/p", html=html)])
     got = {r["dst_host"]: r["rank"] for r in anchor_dictionary(df).collect()}
     assert got == {"aaa.org": 1, "bbb.org": 2}
+
+
+def test_domain_of(spark):
+    cases = {"shop.co.uk": "shop.co.uk",       # ccSLD -> 3 labels
+             "a.b.example.com": "example.com",  # deep host -> last 2
+             "example.org": "example.org",
+             "co.uk": "co.uk",                  # bare ccSLD passes through
+             "localhost": "localhost"}          # no dot
+    df = spark.createDataFrame([Row(h=h) for h in cases])
+    got = {r["h"]: r["d"] for r in
+           df.select("h", domain_of(F.col("h")).alias("d")).collect()}
+    assert got == cases
+
+
+def test_domain_graph_folds_and_sums(spark):
+    hg = spark.createDataFrame(
+        [("a.example.com", "b.example.com", 3),   # intra-domain -> dropped
+         ("a.example.com", "x.other.org", 2),
+         ("b.example.com", "y.other.org", 5),     # same domain pair -> sum
+         ("a.example.com", "shop.co.uk", 1)],
+        "src_host string, dst_host string, n_links long")
+    got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+           for r in domain_graph(hg).collect()}
+    assert got == {("example.com", "other.org"): 7,
+                   ("example.com", "shop.co.uk"): 1}
+    kept = domain_graph(hg, keep_self=True).count()
+    assert kept == 3
 
 
 def test_aliases_from_anchors_feed_link_mentions(spark):
