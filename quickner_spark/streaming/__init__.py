@@ -5,8 +5,9 @@ from quickner_spark.streaming.annotate_stream import (
     stateful_session_counts,
 )
 from quickner_spark.streaming.kg_stream import (
-    default_batch_writer, incremental_kg, kg_batch_increment)
+    default_batch_writer, host_edges_view, incremental_kg,
+    kg_batch_increment)
 
 __all__ = ["annotate_stream", "windowed_label_counts", "streaming_dedup",
            "stateful_session_counts", "incremental_kg", "kg_batch_increment",
-           "default_batch_writer"]
+           "default_batch_writer", "host_edges_view"]

@@ -43,7 +43,8 @@ from quickner_spark.kg.extract import extract_stage
 from quickner_spark.kg.triples import pattern_triples
 from quickner_spark.operators.annotate import annotate_mentions, maximal_mentions
 
-__all__ = ["kg_batch_increment", "incremental_kg", "default_batch_writer"]
+__all__ = ["kg_batch_increment", "incremental_kg", "default_batch_writer",
+           "host_edges_view"]
 
 
 def default_batch_writer(df: DataFrame, path: str, batch_id: int) -> None:
@@ -71,6 +72,17 @@ def kg_batch_increment(pages: DataFrame, entities: Sequence[tuple[str, str]],
     return mentions, triples
 
 
+def host_edges_view(spark, path: str) -> DataFrame:
+    """Current host graph from the per-batch partials ``incremental_kg``
+    lands at ``host_edges_path``: anchor counts are mergeable, so summing
+    the batch partitions equals one :func:`kg.weblinks.host_graph` run
+    over the union of all crawl batches (test-pinned). The fold's input
+    is |hosts²|-bounded per batch, never page-sized."""
+    return (spark.read.parquet(path)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("n_links").alias("n_links")))
+
+
 def incremental_kg(pages_stream: DataFrame,
                    entities: Sequence[tuple[str, str]],
                    predicates: Sequence[str],
@@ -78,8 +90,14 @@ def incremental_kg(pages_stream: DataFrame,
                    checkpoint_dir: str,
                    case_sensitive: bool = False,
                    trigger_available_now: bool = True,
-                   writer: Callable[[DataFrame, str, int], None] | None = None):
+                   writer: Callable[[DataFrame, str, int], None] | None = None,
+                   host_edges_path: str | None = None):
     """Start the incremental build; returns the StreamingQuery.
+
+    ``host_edges_path``: also land each micro-batch's host-level
+    hyperlink-graph partial (:mod:`kg.weblinks`) — per-batch counts under
+    the same idempotent batch_id-partition contract; read the folded
+    current graph with :func:`host_edges_view`.
 
     ``writer(df, path, batch_id)`` must be idempotent per (batch_id, path)
     — see the module docstring. The default writes each batch into its own
@@ -135,6 +153,13 @@ def incremental_kg(pages_stream: DataFrame,
         writer(pattern_triples(maximal_mentions(mentions, id_col="url"),
                                ext, predicates, id_col="url"),
                triples_path, batch_id)
+        if host_edges_path is not None:
+            from quickner_spark.kg.weblinks import extract_links, host_graph
+
+            # per-batch partial of a mergeable count — the raw batch rows
+            # (html), not ext: extraction drops the markup anchors live in
+            writer(host_graph(extract_links(batch_df)),
+                   host_edges_path, batch_id)
 
     w = (pages_stream.writeStream
          .foreachBatch(process)

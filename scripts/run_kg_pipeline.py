@@ -67,6 +67,14 @@ def main() -> None:
                          "inverts the clean generator exactly; 'web' is "
                          "the boilerplate-aware real-web extractor "
                          "(kg.webextract.extract_text_web)")
+    ap.add_argument("--link-graph", action="store_true",
+                    help="also build the host-level hyperlink graph as a "
+                         "host_edges stage (kg.weblinks)")
+    ap.add_argument("--outlink-hosts", type=int, default=0,
+                    help="messy synth corpus only: plant a 4-anchor "
+                         "cross-host block per page over this many "
+                         "external hosts (gives --link-graph real "
+                         "cross-host edges; 0 = off)")
     args = ap.parse_args()
 
     spark = get_spark("quickner-kg-pipeline", cores=args.cores)
@@ -78,7 +86,8 @@ def main() -> None:
         if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
             corpus.synth_pages(spark, args.n_docs, seed=args.seed,
                                gaz_size=args.gazetteer_size,
-                               html_style=args.html_style) \
+                               html_style=args.html_style,
+                               outlink_hosts=args.outlink_hosts) \
                 .write.mode("overwrite").parquet(pages_path)
 
     extractor = None
@@ -90,7 +99,8 @@ def main() -> None:
     pipe = build_kg_pipeline(spark, args.out, pages_path, gaz,
                              corpus.PREDICATES, bucket=bucket,
                              fuse=not args.no_fuse, extractor=extractor,
-                             pages_format=args.input_format)
+                             pages_format=args.input_format,
+                             link_graph=args.link_graph)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0

@@ -161,3 +161,37 @@ def test_var_positional_writer_accepted(spark, crawl_batches, tmp_path):
                         writer=bound)
     q2.awaitTermination(180)
     assert spark.read.parquet(str(tmp_path / "pm")).count() > 0
+
+
+def test_streaming_host_edges_fold_equals_batch(spark, tmp_path):
+    """Optional host-graph sink: per-batch partials folded by
+    host_edges_view equal one host_graph run over the union (anchor
+    counts are mergeable), and each batch landed its own partition."""
+    import os
+
+    from quickner_spark.kg.weblinks import extract_links, host_graph
+    from quickner_spark.streaming import host_edges_view
+
+    full = corpus.synth_pages(spark, 80, seed=9, gaz_size=60, partitions=2,
+                              html_style="messy", outlink_hosts=5)
+    rows = full.collect()
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    spark.createDataFrame(rows[:40], full.schema) \
+        .coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(rows[40:], full.schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    gaz = corpus.synth_gazetteer(60, 9)
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    he = str(tmp_path / "host_edges")
+    q = incremental_kg(stream, gaz, corpus.PREDICATES,
+                       str(tmp_path / "m"), str(tmp_path / "t"),
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       host_edges_path=he)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in host_edges_view(spark, he).collect()}
+    exp = {tuple(r) for r in host_graph(extract_links(full)).collect()}
+    assert got == exp and got
+    parts = [d for d in os.listdir(he) if d.startswith("batch_id=")]
+    assert len(parts) == 2
