@@ -720,6 +720,35 @@ def q48_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_graph(q45_host_graph(spark, sf_dir))
 
 
+def q49_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-revisit URL canonicalization (kg/weblinks.py::normalize_url):
+    four per-doc variants of the same resource — case-shifted scheme/host,
+    default port, tracking params, shuffled param order, fragment —
+    collapse to one canonical string; the query groups by the canonical
+    and counts survivors (4 per item, tail partials). Pure Column work;
+    the oracle restates every rule (lower, port-strip CASE, param
+    filter+sort via list_filter/list_sort) in DuckDB."""
+    from quickner_spark.kg.weblinks import normalize_url
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = F.floor(i / 4).cast("long").cast("string")
+    v = i % 4
+    url = (F.when(v == 0, F.concat(
+               F.lit("https://example.com/item/"), k, F.lit("?a=1&b=2")))
+           .when(v == 1, F.concat(
+               F.lit("HTTPS://Example.Com:443/item/"), k, F.lit("?b=2&a=1")))
+           .when(v == 2, F.concat(
+               F.lit("https://example.com/item/"), k,
+               F.lit("?a=1&utm_campaign=z&b=2#frag")))
+           .otherwise(F.concat(
+               F.lit("https://example.com:443/item/"), k,
+               F.lit("?gclid=1&b=2&a=1"))))
+    return (d.select(normalize_url(url).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -825,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_anchor_dictionary": q46_anchor_dictionary,
         "q47_anchor_aliases": q47_anchor_aliases,
         "q48_domain_graph": q48_domain_graph,
+        "q49_url_normalize": q49_url_normalize,
     }
 
 
@@ -1643,6 +1673,67 @@ SELECT src_domain, dst_domain, sum(n_links) AS n_links
 FROM folded
 WHERE src_domain <> dst_domain
 GROUP BY 1, 2
+""",
+        # q49: URL canonicalization — every normalize_url rule restated:
+        # fragment strip, scheme/host lower, default-port CASE, empty
+        # path -> '/', tracking-param filter, lexicographic param sort
+        "q49_url_normalize": """
+WITH urls AS (
+  SELECT CASE doc_id % 4
+           WHEN 0 THEN 'https://example.com/item/' || (doc_id // 4)
+                       || '?a=1&b=2'
+           WHEN 1 THEN 'HTTPS://Example.Com:443/item/' || (doc_id // 4)
+                       || '?b=2&a=1'
+           WHEN 2 THEN 'https://example.com/item/' || (doc_id // 4)
+                       || '?a=1&utm_campaign=z&b=2#frag'
+           ELSE 'https://example.com:443/item/' || (doc_id // 4)
+                || '?gclid=1&b=2&a=1'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM (SELECT split_part(url, '#', 1) AS u FROM urls)
+),
+comps AS (
+  SELECT scheme,
+         lower(regexp_extract(rest, '^([^/?]*)', 1)) AS host,
+         regexp_replace(rest, '^[^/?]*', '') AS path_q
+  FROM parts
+),
+norm AS (
+  SELECT scheme,
+         CASE WHEN scheme = 'http' AND host LIKE '%:80'
+                THEN left(host, len(host) - 3)
+              WHEN scheme = 'https' AND host LIKE '%:443'
+                THEN left(host, len(host) - 4)
+              ELSE host END AS host,
+         CASE WHEN split_part(path_q, '?', 1) = '' THEN '/'
+              ELSE split_part(path_q, '?', 1) END AS path,
+         CASE WHEN contains(path_q, '?')
+                THEN substr(path_q, position('?' in path_q) + 1)
+              ELSE '' END AS query
+  FROM comps
+),
+canon AS (
+  SELECT scheme || '://' || host || path ||
+         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM (
+    SELECT scheme, host, path,
+           array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> NOT (starts_with(p, 'utm_')
+                         OR regexp_matches(p,
+                              '^(gclid|fbclid|msclkid|mc_eid|igshid)=')
+                         OR p = ''))), '&') AS qs
+    FROM norm
+  )
+)
+SELECT canonical_url, count(*) AS n_variants
+FROM canon
+GROUP BY 1
 """,
         # q46: anchor-text alias-prior dictionary — paired href+text
         # capture (list_zip of the two capture streams, z[1]/z[2]),

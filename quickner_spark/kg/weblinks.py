@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 __all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
            "host_graph", "anchor_dictionary", "aliases_from_anchors",
-           "domain_of", "domain_graph"]
+           "domain_of", "domain_graph", "normalize_url", "TRACKING_PARAMS"]
 
 # one capture group, either quote style (a mismatched-quote href like
 # href="x' matches too — harmless: real pages don't survive it either way)
@@ -181,6 +181,52 @@ def host_graph(links: DataFrame, url_col: str = "url",
         out = out.where(F.col("src_host") != F.col("dst_host"))
     return (out.groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links")))
+
+
+# query parameters that never change the resource: analytics attribution
+# junk. Prefix match for utm_*; exact match for the click ids.
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of a url for crawl-revisit dedup: two captures of
+    the same resource that differ only in case of scheme/host, default
+    port, fragment, tracking parameters (``utm_*`` + ``TRACKING_PARAMS``),
+    or query-parameter ORDER normalize to one string.
+
+    Rules (shared bit-for-bit by the q49 DuckDB oracle):
+    scheme+host lowercased (path/query case preserved — they are
+    resource-significant); ``:80``/``:443`` dropped under the matching
+    scheme; fragment dropped; tracking params dropped; surviving params
+    sorted lexicographically; empty path becomes ``/``. Use as the key of
+    ``latest_by_key`` (or feed ``sources.warc.latest_by_url`` a
+    pre-normalized column) so revisits with attribution junk collapse.
+
+    All column work; the one higher-order function (`filter`+`array_sort`
+    over the split query) runs on a per-url params array (a handful of
+    elements), not on corpus-sized state."""
+    u = F.substring_index(url, "#", 1)                       # drop fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.when((scheme == "http") & host.endswith(":80"),
+                  F.substring(host, F.lit(1), F.length(host) - 3)) \
+            .when((scheme == "https") & host.endswith(":443"),
+                  F.substring(host, F.lit(1), F.length(host) - 4)) \
+            .otherwise(host)
+    path_q = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.substring_index(path_q, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(path_q.contains("?"),
+                   F.substring_index(path_q, "?", -1)).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(p.startswith("utm_") | p.rlike(
+            "^(" + "|".join(TRACKING_PARAMS) + ")=") | (p == "")))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(qs != "", F.concat(F.lit("?"), qs))
+                     .otherwise(F.lit("")))
 
 
 # second-level labels under which the registered domain spans THREE labels

@@ -147,6 +147,46 @@ def test_domain_graph_folds_and_sums(spark):
     assert kept == 3
 
 
+def test_normalize_url_rules(spark):
+    from quickner_spark.kg.weblinks import normalize_url
+
+    cases = {
+        # case, default port, tracking param, param order, fragment
+        "HTTPS://Example.COM:443/Path/X?b=2&utm_source=tw&a=1#frag":
+            "https://example.com/Path/X?a=1&b=2",
+        "http://Host.org:80": "http://host.org/",          # empty path
+        "https://h.org/p?gclid=xyz": "https://h.org/p",    # all-junk query
+        "https://h.org:8443/p?z=1&y=2":
+            "https://h.org:8443/p?y=2&z=1",                # non-default port
+        "https://h.org/UPPER?x=A": "https://h.org/UPPER?x=A",  # path/query
+    }                                                          # case kept
+    df = spark.createDataFrame([Row(u=u) for u in cases])
+    got = {r["u"]: r["n"] for r in
+           df.select("u", normalize_url(F.col("u")).alias("n")).collect()}
+    assert got == cases
+
+
+def test_normalize_url_keys_crawl_revisit_dedup(spark):
+    """Revisits of one resource under attribution junk collapse to the
+    LATEST capture when latest_by_key is keyed on the canonical url."""
+    import datetime as dt
+
+    from quickner_spark.kg.weblinks import normalize_url
+    from quickner_spark.operators.events import latest_by_key
+
+    t = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [Row(url="https://h.org/p?a=1", warc_ts=t, body="old"),
+         Row(url="HTTPS://H.org:443/p?utm_source=tw&a=1",
+             warc_ts=t + dt.timedelta(hours=1), body="new"),
+         Row(url="https://h.org/q", warc_ts=t, body="other")])
+    latest = latest_by_key(
+        pages.withColumn("curl", normalize_url(F.col("url"))),
+        ["curl"], "warc_ts")
+    got = {r["curl"]: r["body"] for r in latest.collect()}
+    assert got == {"https://h.org/p?a=1": "new", "https://h.org/q": "other"}
+
+
 def test_aliases_from_anchors_feed_link_mentions(spark):
     """The CrossWikis loop end-to-end: anchors pointing at a seeded
     homepage become alias rows in link_mentions' shape, and a mention of
