@@ -749,6 +749,35 @@ def q49_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_variants")))
 
 
+def q50_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-signal extraction (kg/pagemeta.py::page_meta — title, robots
+    meta, noindex flag, rel=canonical) in ONE decoded scan pass, zero
+    shuffle. Pages synthesized from documents with quote-style and
+    presence variants per doc; the oracle restates all three regexps on
+    the identically-constructed html."""
+    from quickner_spark.kg.pagemeta import page_meta
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://m"), (i % 5).cast("string"),
+                   F.lit(".example.com/p/"), i.cast("string"))
+    robots = (F.when(i % 3 == 0,
+                     F.lit('<meta name="robots" '
+                           'content="NOINDEX, nofollow">'))
+              .when(i % 3 == 1,
+                    F.lit("<meta name='robots' content='index, follow'>"))
+              .otherwise(F.lit("")))
+    canon = (F.when(i % 2 == 0,
+                    F.concat(F.lit("<link rel='canonical' href='/p/"),
+                             i.cast("string"), F.lit("'>")))
+             .otherwise(F.lit("")))
+    pages = d.select(url.alias("url"), F.concat(
+        F.lit("<html><head><title>Doc "), i.cast("string"),
+        F.lit(" overview</title>"), robots, canon,
+        F.lit("</head><body><p>x</p></body></html>")).alias("html"))
+    return page_meta(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -855,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_anchor_aliases": q47_anchor_aliases,
         "q48_domain_graph": q48_domain_graph,
         "q49_url_normalize": q49_url_normalize,
+        "q50_page_meta": q50_page_meta,
     }
 
 
@@ -1734,6 +1764,39 @@ canon AS (
 SELECT canonical_url, count(*) AS n_variants
 FROM canon
 GROUP BY 1
+""",
+        # q50: head-signal extraction — the three pagemeta regexps (first
+        # plain-text title; robots meta name-before-content either quote
+        # style; rel=canonical) over the identically-constructed html
+        "q50_page_meta": """
+WITH pages AS (
+  SELECT 'https://m' || (doc_id % 5) || '.example.com/p/' || doc_id AS url,
+         '<html><head><title>Doc ' || doc_id || ' overview</title>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<meta name="robots" content="NOINDEX, nofollow">'
+                 WHEN doc_id % 3 = 1
+                 THEN '<meta name=''robots'' content=''index, follow''>'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<link rel=''canonical'' href=''/p/' || doc_id
+                      || '''>'
+                 ELSE '' END
+         || '</head><body><p>x</p></body></html>' AS html
+  FROM documents
+)
+SELECT url,
+       regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+       lower(regexp_extract(html,
+           '<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*'
+           || 'content\\s*=\\s*["'']([^"'']*)["'']', 1)) AS robots,
+       contains(lower(regexp_extract(html,
+           '<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*'
+           || 'content\\s*=\\s*["'']([^"'']*)["'']', 1)),
+           'noindex') AS noindex,
+       regexp_extract(html,
+           '<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*'
+           || 'href\\s*=\\s*["'']([^"'']*)["'']', 1) AS canonical
+FROM pages
 """,
         # q46: anchor-text alias-prior dictionary — paired href+text
         # capture (list_zip of the two capture streams, z[1]/z[2]),
