@@ -57,18 +57,35 @@ _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def extract_links(pages: DataFrame, url_col: str = "url",
-                  html_col: str = "html") -> DataFrame:
+                  html_col: str = "html",
+                  drop_nofollow: bool = False) -> DataFrame:
     """(url, href) — one row per anchor href occurrence, document order.
 
     Pure scan work: ``regexp_extract_all`` + ``explode``; binary html
     columns are decoded as UTF-8 in-plan. Repeated identical anchors on a
-    page each emit a row (the host graph's edge weight counts anchors)."""
+    page each emit a row (the host graph's edge weight counts anchors).
+
+    ``drop_nofollow=True`` skips anchors whose tag carries a
+    ``rel`` value containing ``nofollow`` (publisher-disavowed links —
+    authority-graph builds often exclude them; Common Crawl's own
+    webgraph keeps them, hence the default). That path extracts the whole
+    tag and filters before pulling the href — still one scan, one extra
+    in-row rlike."""
     html: Column = F.col(html_col)
     if isinstance(pages.schema[html_col].dataType, T.BinaryType):
         html = F.decode(html, "UTF-8")
-    hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
-    return pages.select(F.col(url_col).alias("url"),
-                        F.explode(hrefs).alias("href"))
+    if not drop_nofollow:
+        hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
+        return pages.select(F.col(url_col).alias("url"),
+                            F.explode(hrefs).alias("href"))
+    tag_pat = "<a\\s[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"
+    tags = F.regexp_extract_all(html, F.lit(tag_pat), F.lit(0))
+    return (pages.select(F.col(url_col).alias("url"),
+                         F.explode(tags).alias("tag"))
+            .where(~F.col("tag").rlike(
+                "rel\\s*=\\s*[\"'][^\"']*nofollow"))
+            .select("url", F.regexp_extract(
+                "tag", HREF_PATTERN, 1).alias("href")))
 
 
 def extract_anchors(pages: DataFrame, url_col: str = "url",

@@ -147,6 +147,43 @@ def test_domain_graph_folds_and_sums(spark):
     assert kept == 3
 
 
+def test_extract_links_drop_nofollow(spark):
+    html = (b'<a href="/keep">a</a>'
+            b'<a rel="nofollow" href="/pre">b</a>'
+            b"<a href='/post' rel='nofollow noopener'>c</a>"
+            b'<a rel="noopener" href="/other-rel">d</a>')
+    df = spark.createDataFrame([Row(url="https://h.org/p", html=html)])
+    kept = [r["href"] for r in
+            extract_links(df, drop_nofollow=True).collect()]
+    assert kept == ["/keep", "/other-rel"]
+    # default keeps everything (Common Crawl webgraph semantics)
+    assert [r["href"] for r in extract_links(df).collect()] == \
+        ["/keep", "/pre", "/post", "/other-rel"]
+
+
+def test_normalize_url_idempotent_over_variant_matrix(spark):
+    """Canonicalization must be idempotent: normalize(normalize(u)) ==
+    normalize(u), over the full cross product of the rule-triggering
+    variants."""
+    import itertools
+
+    from quickner_spark.kg.weblinks import normalize_url
+
+    schemes = ["https", "HTTPS", "http"]
+    hosts = ["H.org", "h.org:443", "h.org:80", "h.org:8080"]
+    paths = ["", "/", "/A/b"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&gclid=z&c=3"]
+    frags = ["", "#sec"]
+    urls = [f"{s}://{h}{p}{q}{f}" for s, h, p, q, f in
+            itertools.product(schemes, hosts, paths, queries, frags)]
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    once = normalize_url(F.col("u"))
+    bad = (df.select(once.alias("n1"))
+           .select("n1", normalize_url(F.col("n1")).alias("n2"))
+           .where("n1 <> n2").count())
+    assert bad == 0
+
+
 def test_normalize_url_rules(spark):
     from quickner_spark.kg.weblinks import normalize_url
 
