@@ -734,16 +734,22 @@ def q49_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = F.col("doc_id")
     k = F.floor(i / 4).cast("long").cast("string")
     v = i % 4
+    # every variant carries the param 'c=3?x' (a second '?' INSIDE the
+    # query — legal per RFC 3986) so the gate exercises the
+    # split-at-FIRST-'?' rule cross-engine, in a different position each
+    # time; all four still collapse to one canonical
     url = (F.when(v == 0, F.concat(
-               F.lit("https://example.com/item/"), k, F.lit("?a=1&b=2")))
+               F.lit("https://example.com/item/"), k,
+               F.lit("?a=1&b=2&c=3?x")))
            .when(v == 1, F.concat(
-               F.lit("HTTPS://Example.Com:443/item/"), k, F.lit("?b=2&a=1")))
+               F.lit("HTTPS://Example.Com:443/item/"), k,
+               F.lit("?b=2&c=3?x&a=1")))
            .when(v == 2, F.concat(
                F.lit("https://example.com/item/"), k,
-               F.lit("?a=1&utm_campaign=z&b=2#frag")))
+               F.lit("?a=1&utm_campaign=z&c=3?x&b=2#frag")))
            .otherwise(F.concat(
                F.lit("https://example.com:443/item/"), k,
-               F.lit("?gclid=1&b=2&a=1"))))
+               F.lit("?gclid=1&c=3?x&b=2&a=1"))))
     return (d.select(normalize_url(url).alias("canonical_url"))
             .groupBy("canonical_url")
             .agg(F.count("*").alias("n_variants")))
@@ -1711,13 +1717,13 @@ GROUP BY 1, 2
 WITH urls AS (
   SELECT CASE doc_id % 4
            WHEN 0 THEN 'https://example.com/item/' || (doc_id // 4)
-                       || '?a=1&b=2'
+                       || '?a=1&b=2&c=3?x'
            WHEN 1 THEN 'HTTPS://Example.Com:443/item/' || (doc_id // 4)
-                       || '?b=2&a=1'
+                       || '?b=2&c=3?x&a=1'
            WHEN 2 THEN 'https://example.com/item/' || (doc_id // 4)
-                       || '?a=1&utm_campaign=z&b=2#frag'
+                       || '?a=1&utm_campaign=z&c=3?x&b=2#frag'
            ELSE 'https://example.com:443/item/' || (doc_id // 4)
-                || '?gclid=1&b=2&a=1'
+                || '?gclid=1&c=3?x&b=2&a=1'
          END AS url
   FROM documents
 ),
@@ -1837,43 +1843,57 @@ def _domain_sql(col: str) -> str:
             f"ELSE array_to_string({p}[-2:], '.') END")
 
 
-def _host_graph_ctes() -> str:
-    """Shared DuckDB CTE chain for q45/q48: synthesized anchor pages ->
-    href extraction -> resolution -> ``hg`` (the grouped host graph,
-    keep_self semantics)."""
+def _link_pages_cte() -> str:
+    """The synthesized anchor-pages CTE shared by q45/q46/q47/q48 —
+    ONE copy, so an edit cannot desynchronize the four oracles from
+    _synth_link_pages."""
     return """pages AS (
   SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
-         '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
-         || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
+         '<nav><a href="/about">about</a> <a href=\'\'p/' || (doc_id % 5)
+         || '\'\'\'\'>rel</a></nav><p><a href="https://h' || (doc_id % 11)
          || '.example.org/x#sec">ext</a>'
          || CASE WHEN doc_id % 2 = 0
                  THEN '<a href="https://h' || (doc_id % 11)
                       || '.example.org/y">again</a>'
                  ELSE '' END
-         || '<a href=''//cdn' || (doc_id % 3)
-         || '.example.net/a.js''>cdn</a>'
+         || '<a href=\'\'//cdn' || (doc_id % 3)
+         || '.example.net/a.js\'\'>cdn</a>'
          || '<a href="mailto:a@b.c">mail</a></p>' AS html
   FROM documents
-),
+)"""
+
+
+def _resolve_abs_sql(h: str, url: str) -> str:
+    """DuckDB twin of kg/weblinks.py::resolve_href (fragment already
+    stripped from ``h``) — shared by the q45 and q46 CTE chains."""
+    return f"""CASE WHEN regexp_matches({h}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {h}
+              WHEN {h} LIKE '//%' THEN
+                regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+                || ':' || {h}
+              WHEN {h} LIKE '/%' THEN
+                regexp_extract({url},
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || {h}
+              ELSE
+                regexp_extract({url},
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || '/' || {h}
+         END"""
+
+
+def _host_graph_ctes() -> str:
+    """Shared DuckDB CTE chain for q45/q48: synthesized anchor pages ->
+    href extraction -> resolution -> ``hg`` (the grouped host graph,
+    keep_self semantics). The (?i) matches kg/weblinks.py::HREF_PATTERN's
+    case-insensitive tag/attribute names."""
+    return f"""{_link_pages_cte()},
 links AS (
   SELECT url,
          unnest(regexp_extract_all(
-             html, '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS href
+             html, '(?i)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS href
   FROM pages
 ),
 resolved AS (
   SELECT url,
-         CASE WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
-              WHEN h LIKE '//%' THEN
-                regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
-                || ':' || h
-              WHEN h LIKE '/%' THEN
-                regexp_extract(url,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || h
-              ELSE
-                regexp_extract(url,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || '/' || h
-         END AS abs_url
+         {_resolve_abs_sql('h', 'url')} AS abs_url
   FROM (SELECT url, split_part(href, '#', 1) AS h FROM links)
 ),
 hosts AS (
@@ -1894,27 +1914,14 @@ hg AS (
 def _anchor_dict_ctes() -> str:
     """Shared DuckDB CTE chain for q46/q47: synthesized anchor pages ->
     paired extraction -> resolution -> counts -> ranked ``dict`` table."""
-    return """pages AS (
-  SELECT 'https://d' || (doc_id % 7) || '.example.com/docs/' || doc_id AS url,
-         '<nav><a href="/about">about</a> <a href=''p/' || (doc_id % 5)
-         || '''>rel</a></nav><p><a href="https://h' || (doc_id % 11)
-         || '.example.org/x#sec">ext</a>'
-         || CASE WHEN doc_id % 2 = 0
-                 THEN '<a href="https://h' || (doc_id % 11)
-                      || '.example.org/y">again</a>'
-                 ELSE '' END
-         || '<a href=''//cdn' || (doc_id % 3)
-         || '.example.net/a.js''>cdn</a>'
-         || '<a href="mailto:a@b.c">mail</a></p>' AS html
-  FROM documents
-),
+    anchor_re = ("'(?i)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"'']*)[\"'']"
+                 "[^>]*>([^<]*)</a>'")
+    return f"""{_link_pages_cte()},
 anchors AS (
   SELECT url, z[1] AS href, z[2] AS anchor FROM (
     SELECT url, unnest(list_zip(
-        regexp_extract_all(html,
-          '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*>([^<]*)</a>', 1),
-        regexp_extract_all(html,
-          '<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*>([^<]*)</a>', 2)
+        regexp_extract_all(html, {anchor_re}, 1),
+        regexp_extract_all(html, {anchor_re}, 2)
     )) AS z
     FROM pages
   )
@@ -1922,17 +1929,8 @@ anchors AS (
 resolved AS (
   SELECT lower(trim(anchor)) AS anchor,
          lower(regexp_extract(
-           CASE WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
-                WHEN h LIKE '//%' THEN
-                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
-                  || ':' || h
-                WHEN h LIKE '/%' THEN
-                  regexp_extract(url,
-                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || h
-                ELSE
-                  regexp_extract(url,
-                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || '/' || h
-           END, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host
+           {_resolve_abs_sql('h', 'url')},
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host
   FROM (SELECT url, anchor, split_part(href, '#', 1) AS h FROM anchors)
 ),
 counts AS (

@@ -22,6 +22,9 @@ DuckDB oracle so they are cross-engine pinned):
   (either style) — the dominant layout in crawl data; ``noindex`` /
   ``nofollow`` are substring tests on the content list.
 * ``rel=canonical`` likewise expects ``rel`` before ``href``.
+* tag and attribute names (and the robots/canonical keyword values)
+  match case-insensitively — ``<TITLE>`` and ``NAME="ROBOTS"`` pages are
+  recognized.
 
 Filtering usage: ``pages.where(~noindex_of(F.col("html")))`` ahead of
 ``build_kg_pipeline`` keeps noindex pages out of the KG while leaving
@@ -32,23 +35,19 @@ still pass outlink authority unless they are also nofollow).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql import types as T
+
+from quickner_spark.kg.weblinks import decoded_html
 
 __all__ = ["title_of", "robots_of", "noindex_of", "canonical_of",
            "page_meta"]
 
-_TITLE_RE = "<title[^>]*>([^<]*)</title>"
-_ROBOTS_RE = ('<meta\\s[^>]*name\\s*=\\s*["\']robots["\'][^>]*'
+# case-insensitive on tag/attribute names AND the robots/canonical
+# keyword values (<TITLE>, NAME="ROBOTS", Rel=Canonical are all valid)
+_TITLE_RE = "(?i)<title[^>]*>([^<]*)</title>"
+_ROBOTS_RE = ('(?i)<meta\\s[^>]*name\\s*=\\s*["\']robots["\'][^>]*'
               'content\\s*=\\s*["\']([^"\']*)["\']')
-_CANONICAL_RE = ('<link\\s[^>]*rel\\s*=\\s*["\']canonical["\'][^>]*'
+_CANONICAL_RE = ('(?i)<link\\s[^>]*rel\\s*=\\s*["\']canonical["\'][^>]*'
                  'href\\s*=\\s*["\']([^"\']*)["\']')
-
-
-def _as_text(pages: DataFrame, html_col: str) -> Column:
-    html: Column = F.col(html_col)
-    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
-        html = F.decode(html, "UTF-8")
-    return html
 
 
 def title_of(html: Column) -> Column:
@@ -75,7 +74,7 @@ def page_meta(pages: DataFrame, url_col: str = "url",
               html_col: str = "html") -> DataFrame:
     """(url, title, robots, noindex, canonical) — the head signals an
     indexing pipeline reads first, extracted in ONE decoded scan pass."""
-    html = _as_text(pages, html_col)
+    html = decoded_html(pages, html_col)
     return pages.select(
         F.col(url_col).alias("url"),
         title_of(html).alias("title"),

@@ -23,7 +23,8 @@ Resolution semantics (documented simplifications, all shared by the q45
 DuckDB oracle so they are cross-engine pinned):
 
 * hrefs are recognized in ``<a ...>`` tags with quoted values (either
-  quote style); unquoted hrefs are skipped.
+  quote style), tag/attribute names case-insensitive (``<A HREF=...>``
+  matches); unquoted hrefs are skipped.
 * fragments are stripped before resolution (``page#sec`` == ``page``).
 * scheme-relative ``//host/p`` adopts the page's scheme; absolute paths
   ``/p`` adopt the page's authority; anything with a scheme stands as-is.
@@ -46,14 +47,25 @@ __all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
            "host_graph", "anchor_dictionary", "aliases_from_anchors",
            "domain_of", "domain_graph", "normalize_url", "TRACKING_PARAMS"]
 
-# one capture group, either quote style (a mismatched-quote href like
-# href="x' matches too — harmless: real pages don't survive it either way)
-HREF_PATTERN = '<a\\s[^>]*href\\s*=\\s*["\']([^"\']*)["\']'
+# one capture group, either quote style, case-insensitive on the tag and
+# attribute names (<A HREF=...> is valid html and common in older crawl
+# pages). A mismatched-quote href like href="x' matches too — harmless:
+# real pages don't survive it either way.
+HREF_PATTERN = '(?i)<a\\s[^>]*href\\s*=\\s*["\']([^"\']*)["\']'
 # group 1 = href, group 2 = the anchor's inner text. Plain-text anchors
 # only: nested markup inside <a> (e.g. <a ...><b>x</b></a>) is skipped —
 # the alias-prior use case wants clean surface strings anyway.
 ANCHOR_PATTERN = HREF_PATTERN + "[^>]*>([^<]*)</a>"
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def decoded_html(pages: DataFrame, html_col: str) -> Column:
+    """The html column as a string: binary columns decode as UTF-8
+    in-plan, string columns pass through (shared by every html scan)."""
+    html: Column = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
+        html = F.decode(html, "UTF-8")
+    return html
 
 
 def extract_links(pages: DataFrame, url_col: str = "url",
@@ -66,24 +78,22 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     page each emit a row (the host graph's edge weight counts anchors).
 
     ``drop_nofollow=True`` skips anchors whose tag carries a
-    ``rel`` value containing ``nofollow`` (publisher-disavowed links —
-    authority-graph builds often exclude them; Common Crawl's own
-    webgraph keeps them, hence the default). That path extracts the whole
-    tag and filters before pulling the href — still one scan, one extra
-    in-row rlike."""
-    html: Column = F.col(html_col)
-    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
-        html = F.decode(html, "UTF-8")
+    ``rel`` value containing ``nofollow`` in any case, quoted or not
+    (publisher-disavowed links — authority-graph builds often exclude
+    them; Common Crawl's own webgraph keeps them, hence the default).
+    That path extracts the whole tag and filters before pulling the
+    href — still one scan, one extra in-row rlike."""
+    html = decoded_html(pages, html_col)
     if not drop_nofollow:
         hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
         return pages.select(F.col(url_col).alias("url"),
                             F.explode(hrefs).alias("href"))
-    tag_pat = "<a\\s[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"
+    tag_pat = "(?i)<a\\s[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"
     tags = F.regexp_extract_all(html, F.lit(tag_pat), F.lit(0))
     return (pages.select(F.col(url_col).alias("url"),
                          F.explode(tags).alias("tag"))
             .where(~F.col("tag").rlike(
-                "rel\\s*=\\s*[\"'][^\"']*nofollow"))
+                "(?i)rel\\s*=\\s*[\"']?[^>\"']*nofollow"))
             .select("url", F.regexp_extract(
                 "tag", HREF_PATTERN, 1).alias("href")))
 
@@ -91,21 +101,18 @@ def extract_links(pages: DataFrame, url_col: str = "url",
 def extract_anchors(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(url, href, anchor) — one row per plain-text anchor, document
-    order. Same scan shape as :func:`extract_links` with the inner text
-    captured alongside the href (``arrays_zip`` keeps the two capture
-    streams paired); anchors containing child tags are skipped
-    (``ANCHOR_PATTERN``)."""
-    html: Column = F.col(html_col)
-    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
-        html = F.decode(html, "UTF-8")
-    pat = F.lit(ANCHOR_PATTERN)
-    pairs = F.arrays_zip(
-        F.regexp_extract_all(html, pat, F.lit(1)).alias("href"),
-        F.regexp_extract_all(html, pat, F.lit(2)).alias("anchor"))
+    order. ONE corpus-sized regexp scan (whole-match extraction), then
+    two per-anchor extracts for href/text — the two-group
+    ``regexp_extract_all`` form would scan the html twice; anchors
+    containing child tags are skipped (``ANCHOR_PATTERN``)."""
+    html = decoded_html(pages, html_col)
+    tags = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(0))
     return (pages.select(F.col(url_col).alias("url"),
-                         F.explode(pairs).alias("z"))
-            .select("url", F.col("z.href").alias("href"),
-                    F.col("z.anchor").alias("anchor")))
+                         F.explode(tags).alias("tag"))
+            .select("url",
+                    F.regexp_extract("tag", ANCHOR_PATTERN, 1).alias("href"),
+                    F.regexp_extract("tag", ANCHOR_PATTERN, 2)
+                     .alias("anchor")))
 
 
 def anchor_dictionary(pages: DataFrame, min_count: int = 1,
@@ -219,6 +226,11 @@ def normalize_url(url: Column) -> Column:
     ``latest_by_key`` (or feed ``sources.warc.latest_by_url`` a
     pre-normalized column) so revisits with attribution junk collapse.
 
+    Simplification: the whole authority is lowercased, so a (rare,
+    credential-bearing) userinfo component loses case too — consistent
+    with the module-wide "userinfo is not parsed" rule; don't canonical-
+    key urls whose userinfo case is significant.
+
     All column work; the one higher-order function (`filter`+`array_sort`
     over the split query) runs on a per-url params array (a handful of
     elements), not on corpus-sized state."""
@@ -234,8 +246,12 @@ def normalize_url(url: Column) -> Column:
     path_q = F.regexp_replace(rest, "^[^/?]*", "")
     path = F.substring_index(path_q, "?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # query = everything after the FIRST '?' — RFC 3986 allows further
+    # '?' inside the query, and the oracle splits the same way (a
+    # last-'?' split would silently drop 'a=1?' from 'p?a=1?x')
     query = F.when(path_q.contains("?"),
-                   F.substring_index(path_q, "?", -1)).otherwise(F.lit(""))
+                   path_q.substr(F.locate("?", path_q) + F.lit(1),
+                                 F.length(path_q))).otherwise(F.lit(""))
     params = F.filter(
         F.split(query, "&"),
         lambda p: ~(p.startswith("utm_") | p.rlike(

@@ -78,8 +78,13 @@ def _run(code: str, *args: str, cpus: int | None = None) -> str:
     cmd = [sys.executable, "-c", code, *args]
     if cpus is not None:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    pp = "/root/repo" + (os.pathsep + os.environ["PYTHONPATH"]
+                         if os.environ.get("PYTHONPATH") else "")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
-                         env={**os.environ, "PYTHONPATH": "/root/repo"})
+                         env={**os.environ, "PYTHONPATH": pp})
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"worker exited {out.returncode}: {out.stderr[-2000:]}")
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     if not lines:
         raise RuntimeError(out.stderr[-2000:])

@@ -59,6 +59,19 @@ def test_noindex_filter_usage(spark):
     assert kept == ["keep"]
 
 
+def test_uppercase_head_recognized(spark):
+    """<TITLE> / NAME="ROBOTS" / Rel=Canonical pages (older crawl html)
+    are recognized — patterns are case-insensitive."""
+    pages = spark.createDataFrame([Row(url="u", html=(
+        b'<HEAD><TITLE>Shouty</TITLE>'
+        b'<META NAME="ROBOTS" CONTENT="NOINDEX">'
+        b'<LINK REL="Canonical" HREF="/c"></HEAD>'))])
+    r = page_meta(pages).head()
+    assert r["title"] == "Shouty"
+    assert r["noindex"] is True
+    assert r["canonical"] == "/c"
+
+
 def test_canonical_absent_is_empty(spark):
     df = spark.createDataFrame(
         [Row(h='<link rel="stylesheet" href="/s.css">')])

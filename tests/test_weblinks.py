@@ -151,14 +151,29 @@ def test_extract_links_drop_nofollow(spark):
     html = (b'<a href="/keep">a</a>'
             b'<a rel="nofollow" href="/pre">b</a>'
             b"<a href='/post' rel='nofollow noopener'>c</a>"
-            b'<a rel="noopener" href="/other-rel">d</a>')
+            b'<a rel="noopener" href="/other-rel">d</a>'
+            b'<a rel="NOFOLLOW" href="/upper">e</a>'       # any case
+            b'<a rel=nofollow href="/unquoted">f</a>')     # unquoted rel
     df = spark.createDataFrame([Row(url="https://h.org/p", html=html)])
     kept = [r["href"] for r in
             extract_links(df, drop_nofollow=True).collect()]
     assert kept == ["/keep", "/other-rel"]
     # default keeps everything (Common Crawl webgraph semantics)
     assert [r["href"] for r in extract_links(df).collect()] == \
-        ["/keep", "/pre", "/post", "/other-rel"]
+        ["/keep", "/pre", "/post", "/other-rel", "/upper", "/unquoted"]
+
+
+def test_uppercase_html_recognized(spark):
+    """<A HREF=...> is valid html and common in older crawl pages — the
+    scan patterns are case-insensitive on tag/attribute names."""
+    df = spark.createDataFrame(
+        [Row(url="https://me.org/p",
+             html=b'<A HREF="https://ext.org/x">Ext Link</A>')])
+    assert [r["href"] for r in extract_links(df).collect()] == \
+        ["https://ext.org/x"]
+    rows = extract_anchors(df).collect()
+    assert [(r["href"], r["anchor"]) for r in rows] == \
+        [("https://ext.org/x", "Ext Link")]
 
 
 def test_normalize_url_idempotent_over_variant_matrix(spark):
@@ -196,6 +211,9 @@ def test_normalize_url_rules(spark):
         "https://h.org:8443/p?z=1&y=2":
             "https://h.org:8443/p?y=2&z=1",                # non-default port
         "https://h.org/UPPER?x=A": "https://h.org/UPPER?x=A",  # path/query
+        # '?' INSIDE the query (legal): split at the FIRST '?', keep the
+        # rest verbatim as param content
+        "https://h.org/p?b=2?y&a=1": "https://h.org/p?a=1&b=2?y",
     }                                                          # case kept
     df = spark.createDataFrame([Row(u=u) for u in cases])
     got = {r["u"]: r["n"] for r in
