@@ -784,6 +784,75 @@ def q50_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_meta(pages)
 
 
+def q51_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs/authorities over the host-level webgraph
+    (operators/graph.py::hits — Kleinberg HITS, 2 fixed iterations in
+    INTEGER arithmetic): int64 scores at scale 10^9, L1 normalization
+    via the overflow-safe two-step integer division, so the result is
+    bit-identical on any engine regardless of aggregation order (the
+    q42 integer-pagerank trick applied to the two-sided hub/authority
+    update). Self-loop host edges dropped (host_graph default) — a
+    host's nav links say nothing about its hub quality. Production
+    default is double arithmetic."""
+    from quickner_spark.kg.weblinks import extract_links, host_graph
+    from quickner_spark.operators.graph import hits
+
+    hg = host_graph(extract_links(_synth_link_pages(spark, sf_dir)))
+    return hits(hg, src="src_host", dst="dst_host",
+                iters=2, arithmetic="integer")
+
+
+def q52_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness filtering (kg/robots.py): parse synthesized
+    robots.txt bodies (named-agent group ignored by a ``*`` caller,
+    consecutive-User-agent group sharing, comments, empty Disallow
+    dropped) into a rules table, then decide a 5-variant frontier —
+    longest-match precedence, Allow-beats-Disallow tie, prefix edge
+    (``/pub`` does not match rule ``/pub/``), fragment ignored,
+    rule-less hosts allowed. The oracle restates the line explosion,
+    the two grouping windows, and the ranking window."""
+    from quickner_spark.kg.robots import frontier_allowed, robots_rules
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("# policy\nUser-agent: gptbot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /p"), k,
+        F.lit("/\nAllow: /p"), k,
+        F.lit("/pub/\nDisallow: /news\nDisallow:\n"),
+        F.when((i % 10) % 2 == 0,
+               F.lit("\nUser-agent: newsbot\nUser-agent: *\n"
+                     "Allow: /news/")).otherwise(F.lit("")))
+    robots = d.select(host.alias("host"), body.alias("body")).distinct()
+    v = i % 5
+    path = (F.when(v == 0, F.concat(F.lit("/p"), k, F.lit("/x/"),
+                                    i.cast("string")))
+            .when(v == 1, F.concat(F.lit("/p"), k, F.lit("/pub/"),
+                                   i.cast("string")))
+            .when(v == 2, F.concat(F.lit("/news/"), i.cast("string")))
+            .when(v == 3, F.concat(F.lit("/"), i.cast("string")))
+            .otherwise(F.concat(F.lit("/p"), k, F.lit("/pub"))))
+    urls = d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    return frontier_allowed(urls, robots_rules(robots))
+
+
+def q53_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence statistics (kg/cooccur.py) over the full
+    mentions extraction: per unordered surface pair, documents
+    containing both + each side's document frequency + the corpus doc
+    count — the KG's second edge signal (feeds PMI/NPMI edge weights;
+    the float scores stay in ``with_npmi``, outside the integer
+    oracle). Doc-keyed pair expansion, map-side-combined counts,
+    ``min_docs=2`` output pruning."""
+    from quickner_spark.kg.cooccur import cooccurrence
+
+    m = _mentions(spark, sf_dir).select(
+        "doc_id", F.lower("surface").alias("surface"))
+    return cooccurrence(m, min_docs=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -891,6 +960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_domain_graph": q48_domain_graph,
         "q49_url_normalize": q49_url_normalize,
         "q50_page_meta": q50_page_meta,
+        "q51_hits": q51_hits,
+        "q52_robots_frontier": q52_robots_frontier,
+        "q53_cooccurrence": q53_cooccurrence,
     }
 
 
@@ -1071,6 +1143,24 @@ c{i + 1} AS (SELECT e2.dst AS node,
 r{i + 1} AS (SELECT n.node, 150000000 + coalesce(c{i + 1}.s, 0) AS "rank"
         FROM nodes n LEFT JOIN c{i + 1} ON c{i + 1}.node = n.node)""")
     pr_iters = ",".join(pr_chain)
+    # q51: 2 integer-HITS iterations unrolled over the host graph
+    # (scale 10^9; L1 normalization = `score // greatest(1, total //
+    # scale)` — the same overflow-safe two-step division the engine
+    # runs, so int64 sums make each step bit-exact cross-engine)
+    hits_chain = []
+    for i in range(2):
+        hits_chain.append(f"""
+ar{i + 1} AS (SELECT e3.dst AS node, sum(h{i}.h) AS s
+        FROM e3 JOIN h{i} ON h{i}.node = e3.src GROUP BY 1),
+a{i + 1} AS (SELECT n.node, coalesce(ar{i + 1}.s // greatest(1,
+            (SELECT sum(s) FROM ar{i + 1}) // 1000000000), 0) AS a
+        FROM hnodes n LEFT JOIN ar{i + 1} ON ar{i + 1}.node = n.node),
+hr{i + 1} AS (SELECT e3.src AS node, sum(a{i + 1}.a) AS s
+        FROM e3 JOIN a{i + 1} ON a{i + 1}.node = e3.dst GROUP BY 1),
+h{i + 1} AS (SELECT n.node, coalesce(hr{i + 1}.s // greatest(1,
+            (SELECT sum(s) FROM hr{i + 1}) // 1000000000), 0) AS h
+        FROM hnodes n LEFT JOIN hr{i + 1} ON hr{i + 1}.node = n.node)""")
+    hits_iters = ",".join(hits_chain)
     return {
         "q24_ivf_knn": f"""
 WITH {ivf_cte}
@@ -1803,6 +1893,126 @@ SELECT url,
            '<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*'
            || 'href\\s*=\\s*["'']([^"'']*)["'']', 1) AS canonical
 FROM pages
+""",
+        # q51: HITS over the host graph — hg re-filtered to the
+        # engine's keep_self=False default, then the generated 2-round
+        # integer hub/authority chain
+        "q51_hits": f"""
+WITH {_host_graph_ctes()},
+e3 AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg
+       WHERE src_host <> dst_host),
+hnodes AS (SELECT src AS node FROM e3 UNION SELECT dst AS node FROM e3),
+h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM hnodes),
+{hits_iters}
+SELECT h2.node, h2.h AS hub, a2.a AS authority
+FROM h2 JOIN a2 ON a2.node = h2.node
+""",
+        # q53: unordered-pair co-occurrence with marginals over the
+        # same mentions CTE (distinct (doc, lower(surface)) then a
+        # doc-keyed self-join with e1 < e2)
+        "q53_cooccurrence": f"""
+WITH {cte},
+de AS (SELECT DISTINCT doc_id AS doc, lower(surface) AS e FROM mentions),
+nc AS (SELECT count(DISTINCT doc) AS n_corpus FROM de),
+cpairs AS (
+  SELECT l.e AS e1, r.e AS e2, count(*) AS n_docs
+  FROM de l JOIN de r ON l.doc = r.doc AND l.e < r.e
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+marg AS (SELECT e, count(*) AS n FROM de GROUP BY 1)
+SELECT p.e1, p.e2, p.n_docs, m1.n AS n_e1, m2.n AS n_e2, nc.n_corpus
+FROM cpairs p
+JOIN marg m1 ON m1.e = p.e1
+JOIN marg m2 ON m2.e = p.e2
+CROSS JOIN nc
+""",
+        # q52: robots.txt parsing + frontier decision — the same line
+        # explosion (ordinality via list_zip with a range), comment
+        # strip, lag/sum grouping windows, *-group governance, and
+        # longest-match/Allow-wins ranking window as kg/robots.py
+        "q52_robots_frontier": """
+WITH robots AS (
+  SELECT DISTINCT 'h' || (doc_id % 10) || '.example.com' AS host,
+         e'# policy\\nUser-agent: gptbot\\nDisallow: /\\n\\n'
+         || 'User-agent: *' || e'\\nDisallow: /p' || (doc_id % 10)
+         || e'/\\nAllow: /p' || (doc_id % 10)
+         || e'/pub/\\nDisallow: /news\\nDisallow:\\n'
+         || CASE WHEN (doc_id % 10) % 2 = 0
+                 THEN e'\\nUser-agent: newsbot\\nUser-agent: *\\n'
+                      || 'Allow: /news/'
+                 ELSE '' END AS body
+  FROM documents
+),
+rlines AS (
+  SELECT host, z[1] AS pos,
+         trim(regexp_replace(z[2], '#.*$', '')) AS line
+  FROM (SELECT host, unnest(list_zip(
+            range(1, len(string_split(body, e'\\n')) + 1),
+            string_split(body, e'\\n'))) AS z
+        FROM robots)
+),
+kinds AS (
+  SELECT host, pos,
+         lower(regexp_extract(line,
+             '(?i)^(user-agent|allow|disallow)\\s*:', 1)) AS kind,
+         trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS value
+  FROM rlines
+  WHERE regexp_extract(line,
+            '(?i)^(user-agent|allow|disallow)\\s*:', 1) <> ''
+),
+g1 AS (SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY pos) AS lagk
+       FROM kinds),
+g2 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+                          AND (lagk IS NULL OR lagk <> 'user-agent')
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS gid
+       FROM g1),
+g3 AS (SELECT *, max(CASE WHEN kind = 'user-agent' AND value = '*'
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host, gid) AS governs
+       FROM g2),
+rrules AS (
+  SELECT host, kind AS rule, value AS path FROM g3
+  WHERE governs = 1 AND gid > 0 AND kind <> 'user-agent' AND value <> ''
+),
+furls AS (
+  SELECT 'https://h' || (doc_id % 10) || '.example.com'
+         || CASE doc_id % 5
+              WHEN 0 THEN '/p' || (doc_id % 10) || '/x/' || doc_id
+              WHEN 1 THEN '/p' || (doc_id % 10) || '/pub/' || doc_id
+              WHEN 2 THEN '/news/' || doc_id
+              WHEN 3 THEN '/' || doc_id
+              ELSE '/p' || (doc_id % 10) || '/pub'
+            END AS url
+  FROM documents
+),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS h,
+         CASE WHEN p = '' THEN '/' ELSE p END AS upath
+  FROM (SELECT url, regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+              '#.*$', '') AS p
+        FROM furls)
+),
+ukeys AS (SELECT DISTINCT h, upath FROM u),
+cand AS (
+  SELECT k.h, k.upath, r.rule, r.path
+  FROM ukeys k JOIN rrules r ON r.host = k.h
+  WHERE starts_with(k.upath, r.path)
+),
+winner AS (
+  SELECT h, upath, rule FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY h, upath
+        ORDER BY len(path) DESC, (rule = 'allow') DESC, path, rule) AS rn
+    FROM cand)
+  WHERE rn = 1
+)
+SELECT u.url, coalesce(w.rule, 'allow') <> 'disallow' AS allowed
+FROM u LEFT JOIN winner w ON w.h = u.h AND w.upath = u.upath
 """,
         # q46: anchor-text alias-prior dictionary — paired href+text
         # capture (list_zip of the two capture streams, z[1]/z[2]),

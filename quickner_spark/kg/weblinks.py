@@ -45,7 +45,8 @@ from pyspark.sql import types as T
 
 __all__ = ["extract_links", "extract_anchors", "resolve_href", "host_of",
            "host_graph", "anchor_dictionary", "aliases_from_anchors",
-           "domain_of", "domain_graph", "normalize_url", "TRACKING_PARAMS"]
+           "domain_of", "psl_domains", "domain_graph", "normalize_url",
+           "TRACKING_PARAMS"]
 
 # one capture group, either quote style, case-insensitive on the tag and
 # attribute names (<A HREF=...> is valid html and common in older crawl
@@ -282,18 +283,104 @@ def domain_of(host: Column) -> Column:
              .otherwise(F.concat_ws(".", F.slice(parts, -2, 2))))
 
 
-def domain_graph(host_edges: DataFrame,
-                 keep_self: bool = False) -> DataFrame:
+def psl_domains(hosts: DataFrame, psl: DataFrame,
+                host_col: str = "host") -> DataFrame:
+    """(host, domain) under full Public Suffix List semantics — the
+    exact replacement for :func:`domain_of`'s ccSLD heuristic when a
+    PSL snapshot is available.
+
+    ``psl`` is a one-string-column DataFrame of PSL rules in the
+    published format: plain suffixes (``com``, ``co.uk``), wildcards
+    (``*.ck``), exceptions (``!www.ck``); ``//`` comment lines and
+    blanks are ignored. Matching per the PSL algorithm: every label
+    suffix of the host is a candidate; exceptions prevail, else the
+    matching rule with the most labels; no match falls back to the
+    implicit ``*`` rule (top label). Registered domain = public suffix
+    plus one label; a host that IS a public suffix passes through.
+
+    Scale shape: the PSL (~10k rules) broadcasts; candidates are two
+    HASH equi-joins against it (plain rules key on the candidate,
+    wildcard rules on the candidate minus its first label — never an
+    OR-condition nested-loop); the winner window partitions per host
+    over at most |labels|·|matching rules| rows."""
+    rules = (psl.select(F.trim(F.col(psl.columns[0])).alias("r"))
+             .where(~F.col("r").rlike("^(//.*)?$"))
+             .select(
+                 F.when(F.col("r").startswith("!"), F.lit(2))
+                  .when(F.col("r").startswith("*."), F.lit(1))
+                  .otherwise(F.lit(0)).alias("typ"),
+                 F.regexp_replace("r", "^(!|\\*\\.)", "").alias("tail"))
+             .withColumn("tail_n", F.size(F.split("tail", "\\."))))
+    plain = rules.where(F.col("typ") != 1).select(
+        F.col("tail").alias("__k"),
+        F.when(F.col("typ") == 2, F.col("tail_n") - 1)
+         .otherwise(F.col("tail_n")).alias("ps_n"),
+        (F.col("typ") == 2).alias("exc"))
+    wild = rules.where(F.col("typ") == 1).select(
+        F.col("tail").alias("__k"), (F.col("tail_n") + 1).alias("ps_n"),
+        F.lit(False).alias("exc"))
+    h = (hosts.select(F.col(host_col).alias("host")).distinct()
+         .withColumn("__parts", F.split("host", "\\."))
+         .withColumn("__n", F.size("__parts")))
+    cands = h.select(
+        "host", "__n",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.col("__n")),
+            lambda i: F.array_join(
+                F.slice("__parts", i, F.col("__n") - i + F.lit(1)), ".")
+        )).alias("__i", "cand"))
+    cands = cands.withColumn(
+        "cand_tail",
+        F.when(F.col("__n") - F.col("__i") > 1,
+               F.regexp_replace("cand", "^[^.]*\\.", "")))
+    sel = ["host", "ps_n", "exc"]
+    matches = (cands.join(F.broadcast(plain),
+                          cands["cand"] == plain["__k"]).select(*sel)
+               .unionByName(
+                   cands.join(F.broadcast(wild),
+                              cands["cand_tail"] == wild["__k"])
+                   .select(*sel)))
+    rank = Window.partitionBy("host").orderBy(
+        F.col("exc").desc(), F.col("ps_n").desc())
+    best = (matches.withColumn("__rn", F.row_number().over(rank))
+            .where(F.col("__rn") == 1).select("host", "ps_n"))
+    out = (h.join(best, "host", "left")
+           .withColumn("__ps", F.coalesce("ps_n", F.lit(1))))
+    dom_len = F.col("__ps") + F.lit(1)
+    return out.select(
+        "host",
+        F.when(F.col("__n") <= F.col("__ps"), F.col("host"))
+         .otherwise(F.concat_ws(".", F.slice("__parts", -dom_len, dom_len)))
+         .alias("domain"))
+
+
+def domain_graph(host_edges: DataFrame, keep_self: bool = False,
+                 psl: DataFrame | None = None) -> DataFrame:
     """(src_domain, dst_domain, n_links) — the domain-level webgraph,
     folded from :func:`host_graph` output (the Common-Crawl derivation
     order: page -> host graph -> domain graph). The input is already
     output-bounded, so this re-aggregate touches |hosts²| rows at most,
     never the corpus; intra-domain edges (host A -> host B of the same
-    registrant) are dropped unless ``keep_self``."""
-    out = (host_edges.select(
-        domain_of(F.col("src_host")).alias("src_domain"),
-        domain_of(F.col("dst_host")).alias("dst_domain"),
-        "n_links"))
+    registrant) are dropped unless ``keep_self``. ``psl`` switches the
+    label heuristic for exact :func:`psl_domains` folding (two joins
+    against the host->domain map, itself |hosts|-bounded)."""
+    if psl is not None:
+        hset = (host_edges.select(F.col("src_host").alias("host"))
+                .union(host_edges.select(F.col("dst_host").alias("host"))))
+        dmap = psl_domains(hset, psl)
+        out = (host_edges
+               .join(dmap.select(F.col("host").alias("src_host"),
+                                 F.col("domain").alias("src_domain")),
+                     "src_host")
+               .join(dmap.select(F.col("host").alias("dst_host"),
+                                 F.col("domain").alias("dst_domain")),
+                     "dst_host")
+               .select("src_domain", "dst_domain", "n_links"))
+    else:
+        out = (host_edges.select(
+            domain_of(F.col("src_host")).alias("src_domain"),
+            domain_of(F.col("dst_host")).alias("dst_domain"),
+            "n_links"))
     if not keep_self:
         out = out.where(F.col("src_domain") != F.col("dst_domain"))
     return (out.groupBy("src_domain", "dst_domain")

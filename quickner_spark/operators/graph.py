@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
 __all__ = ["connected_components", "k_hop", "degree_stats", "pagerank",
-           "match_patterns"]
+           "hits", "match_patterns"]
 
 
 def match_patterns(triples: DataFrame, patterns,
@@ -223,6 +223,65 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
                          (base + F.coalesce("__s", F.lit(0))).alias("rank"))
                  .localCheckpoint())
     return ranks
+
+
+def hits(edges: DataFrame, iters: int = 5, src: str = "src",
+         dst: str = "dst", arithmetic: str = "double",
+         scale: int = 10 ** 9) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs/authorities) over the
+    distinct directed edge list; returns (node, hub, authority).
+
+    Per iteration: authority(u) = sum of hub scores over u's in-edges,
+    then hub(v) = sum of authority scores over v's out-edges — two
+    edge-sized equi-joins + two map-side-combined sums, no driver
+    action, lineage cut per round. Scores are L1-normalized after each
+    half-step (the classical algorithm's L2 norm only changes the
+    vector's length, never the ranking; L1 keeps the arithmetic
+    rational). The normalizing total is a 1-row aggregate joined back
+    by broadcast — the one global sync HITS inherently needs.
+
+    ``arithmetic="integer"`` (the q51 oracle form): scores are int64 at
+    ``scale``; normalization divides by ``greatest(1, total div scale)``
+    — a two-step integer division that never overflows (score * scale
+    would at |V| > 9) and is bit-identical on any engine regardless of
+    aggregation order, the same portability trick as integer
+    ``pagerank``. Production default is double."""
+    if arithmetic not in ("double", "integer"):
+        raise ValueError(f"unknown arithmetic: {arithmetic!r}")
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    nodes = (e.select(F.col(src).alias("node"))
+             .union(e.select(F.col(dst).alias("node"))).distinct()
+             .localCheckpoint())
+    integer = arithmetic == "integer"
+    init = F.lit(scale).cast("long") if integer else F.lit(1.0)
+
+    def half_step(scores: DataFrame, score_col: str, join_on: str,
+                  group_on: str, out_col: str) -> DataFrame:
+        s = scores.select(F.col("node").alias("__n"),
+                          F.col(score_col).alias("__v"))
+        raw = (e.join(s, e[join_on] == s["__n"])
+               .select(F.col(group_on).alias("node"), "__v")
+               .groupBy("node").agg(F.sum("__v").alias("__s")))
+        tot = raw.agg(F.sum("__s").alias("__t"))
+        if integer:
+            norm = F.expr(f"__s div greatest(1, __t div {scale})")
+        else:
+            norm = F.col("__s") / F.col("__t")
+        normed = (raw.join(F.broadcast(tot))
+                  .select("node", norm.alias(out_col)))
+        zero = F.lit(0).cast("long") if integer else F.lit(0.0)
+        return (nodes.join(normed, "node", "left")
+                .select("node", F.coalesce(out_col, zero).alias(out_col))
+                .localCheckpoint())
+
+    hub = nodes.select("node", init.alias("hub")).localCheckpoint()
+    auth = hub.select("node", F.col("hub").alias("authority"))
+    for _ in range(iters):
+        # authorities gather hub mass along in-edges, then hubs gather
+        # the fresh authority mass along out-edges
+        auth = half_step(hub, "hub", src, dst, "authority")
+        hub = half_step(auth, "authority", dst, src, "hub")
+    return hub.join(auth, "node").select("node", "hub", "authority")
 
 
 def _driver_components(edges: DataFrame, src: str, dst: str) -> DataFrame:

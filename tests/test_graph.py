@@ -226,6 +226,79 @@ def test_pagerank_integer_differential_random_graph(spark):
     assert got == r
 
 
+def test_hits_integer_hand_computed(spark):
+    """a->c, b->c, c->d at scale 100, 1 iteration:
+    auth_raw = {c: 200, d: 100}, total 300, q = 3 -> auth c=66 d=33;
+    hub_raw = {a: 66, b: 66, c: 33}, total 165, q = 1 -> hub unchanged."""
+    from quickner_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iters=1, arithmetic="integer",
+                         scale=100).collect()}
+    assert got == {"a": (66, 0), "b": (66, 0),
+                   "c": (33, 66), "d": (0, 33)}
+
+
+def test_hits_integer_differential_random_graph(spark):
+    """Integer HITS vs a pure-Python reimplementation on a seeded random
+    digraph — same L1 normalization, same two-step integer division."""
+    import random
+
+    from quickner_spark.operators.graph import hits
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes))
+                  for _ in range(55)})
+    e = spark.createDataFrame(edges, "src string, dst string")
+    scale, iters = 10 ** 6, 3
+
+    ns = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in ns}
+    auth = dict(hub)
+    for _ in range(iters):
+        raw = {n: 0 for n in ns}
+        for u, v in edges:
+            raw[v] += hub[u]
+        q = max(1, sum(raw.values()) // scale)
+        auth = {n: raw[n] // q for n in ns}
+        raw = {n: 0 for n in ns}
+        for u, v in edges:
+            raw[u] += auth[v]
+        q = max(1, sum(raw.values()) // scale)
+        hub = {n: raw[n] // q for n in ns}
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iters=iters, arithmetic="integer",
+                         scale=scale).collect()}
+    assert got == {n: (hub[n], auth[n]) for n in ns}
+
+
+def test_hits_double_hub_authority_ordering(spark):
+    """A directory page linking every content page is the top hub; the
+    page every directory links is the top authority."""
+    from quickner_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("dir1", "star"), ("dir1", "p1"), ("dir1", "p2"),
+         ("dir2", "star"), ("dir2", "p1"), ("p1", "star")],
+        "src string, dst string")
+    got = {r["node"]: r for r in hits(e, iters=8).collect()}
+    top_hub = max(got.values(), key=lambda r: r["hub"])["node"]
+    top_auth = max(got.values(), key=lambda r: r["authority"])["node"]
+    assert top_hub == "dir1" and top_auth == "star"
+    assert got["star"]["hub"] == 0.0  # no out-edges
+
+
+def test_hits_validation(spark):
+    from quickner_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="arithmetic"):
+        hits(e, arithmetic="decimal")
+
+
 # --- match_patterns (SPARQL-BGP-lite) -------------------------------------
 
 def _triples(spark):

@@ -147,6 +147,51 @@ def test_domain_graph_folds_and_sums(spark):
     assert kept == 3
 
 
+PSL_RULES = ["// public suffix list sample", "", "com", "co.uk",
+             "*.ck", "!www.ck", "github.io"]
+
+
+def test_psl_domains_spec_cases(spark):
+    """The PSL algorithm's canonical cases: plain rules, longest match,
+    wildcard, exception override, implicit-* fallback, suffix
+    pass-through."""
+    from quickner_spark.kg.weblinks import psl_domains
+
+    cases = {
+        "a.b.example.com": "example.com",     # plain rule
+        "www.example.co.uk": "example.co.uk",  # longest matching rule
+        "example.co.uk": "example.co.uk",      # 2-label rule
+        "foo.bar.ck": "foo.bar.ck",            # *.ck -> ps = bar.ck
+        "foo.www.ck": "www.ck",                # !www.ck exception
+        "user.github.io": "user.github.io",    # private-section rule
+        "deep.user.github.io": "user.github.io",
+        "example.unknown": "example.unknown",  # implicit * rule
+        "a.b.example.unknown": "example.unknown",
+        "com": "com",                          # host IS a suffix
+        "co.uk": "co.uk",
+    }
+    psl = spark.createDataFrame([Row(rule=r) for r in PSL_RULES])
+    hosts = spark.createDataFrame([Row(host=h) for h in cases])
+    got = {r["host"]: r["domain"]
+           for r in psl_domains(hosts, psl).collect()}
+    assert got == cases
+
+
+def test_domain_graph_psl_mode(spark):
+    psl = spark.createDataFrame([Row(rule=r) for r in PSL_RULES])
+    hg = spark.createDataFrame(
+        [("a.example.com", "b.example.com", 3),   # intra-domain -> dropped
+         ("a.example.com", "u1.github.io", 2),
+         ("b.example.com", "u2.github.io", 5)],   # DIFFERENT psl domains
+        "src_host string, dst_host string, n_links long")
+    got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+           for r in domain_graph(hg, psl=psl).collect()}
+    # under the ccSLD heuristic u1/u2.github.io both fold to github.io
+    # (and would sum); under the PSL each user site is its own domain
+    assert got == {("example.com", "u1.github.io"): 2,
+                   ("example.com", "u2.github.io"): 5}
+
+
 def test_extract_links_drop_nofollow(spark):
     html = (b'<a href="/keep">a</a>'
             b'<a rel="nofollow" href="/pre">b</a>'
