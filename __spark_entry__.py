@@ -853,6 +853,56 @@ def q53_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(m, min_docs=2)
 
 
+def q54_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WET export (sinks/formats.py::wet_lines): one WARC
+    conversion record per extracted page, Content-Length in UTF-8 BYTES
+    (octet_length vs DuckDB strlen — the text carries a planted 2-byte
+    'é' so a character-count bug cannot hash-match), NULL-text pages
+    (extractor-dropped) skipped. One JVM concat per page; the oracle
+    restates the record layout verbatim."""
+    from quickner_spark.sinks.formats import wet_lines
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(F.lit("https://w"), (i % 9).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"),
+        F.concat(F.lit("2025-03-0"), ((i % 9) + 1).cast("string"),
+                 F.lit("T08:00:00Z")).alias("warc_ts"),
+        F.when(i % 17 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.col("text"), F.lit(" é"))).alias("text"))
+    return wet_lines(pages)
+
+
+def q55_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (kg/weblinks.py::extract_sitemap_urls): <loc>
+    extraction from urlset/sitemapindex XML — entity-decoded ampersands,
+    CDATA unwrap, case-insensitive tags, whitespace trim, is_index flag
+    (parity-gated index documents). One regexp scan + explode, zero
+    shuffle; the oracle restates the scan on identical bodies."""
+    from quickner_spark.kg.weblinks import extract_sitemap_urls
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 6).cast("string")
+    s = i.cast("string")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://s"), k, F.lit(".org/p/"), s,
+        F.lit("?a=1&amp;b=2</loc></url><url><LOC> https://s"), k,
+        F.lit(".org/q/"), s,
+        F.lit(" </LOC></url><url><loc><![CDATA[https://s"), k,
+        F.lit(".org/c/"), s, F.lit("]]></loc></url></urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s"), k,
+        F.lit(".org/maps/"), s,
+        F.lit(".xml</loc></sitemap></sitemapindex>"))
+    maps = d.select(
+        F.concat(F.lit("https://s"), k, F.lit(".org/sitemap"), s,
+                 F.lit(".xml")).alias("url"),
+        F.when(i % 20 == 0, index).otherwise(urlset).alias("body"))
+    return extract_sitemap_urls(maps)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -963,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hits": q51_hits,
         "q52_robots_frontier": q52_robots_frontier,
         "q53_cooccurrence": q53_cooccurrence,
+        "q54_wet_export": q54_wet_export,
+        "q55_sitemap_urls": q55_sitemap_urls,
     }
 
 
@@ -1906,6 +1958,54 @@ h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM hnodes),
 {hits_iters}
 SELECT h2.node, h2.h AS hub, a2.a AS authority
 FROM h2 JOIN a2 ON a2.node = h2.node
+""",
+        # q55: the sitemap <loc> scan restated — same (?is) lazy-group
+        # regexp (RE2 and java.util.regex agree on leftmost-first
+        # non-greedy semantics), same &amp; decode and is_index rlike
+        "q55_sitemap_urls": """
+WITH smaps AS (
+  SELECT 'https://s' || (doc_id % 6) || '.org/sitemap' || doc_id
+         || '.xml' AS url,
+         CASE WHEN doc_id % 20 = 0
+              THEN '<sitemapindex><sitemap><loc>https://s'
+                   || (doc_id % 6) || '.org/maps/' || doc_id
+                   || '.xml</loc></sitemap></sitemapindex>'
+              ELSE '<urlset><url><loc>https://s' || (doc_id % 6)
+                   || '.org/p/' || doc_id
+                   || '?a=1&amp;b=2</loc></url><url><LOC> https://s'
+                   || (doc_id % 6) || '.org/q/' || doc_id
+                   || ' </LOC></url><url><loc><![CDATA[https://s'
+                   || (doc_id % 6) || '.org/c/' || doc_id
+                   || ']]></loc></url></urlset>'
+         END AS body
+  FROM documents
+)
+SELECT url AS sitemap_url,
+       replace(unnest(regexp_extract_all(body,
+           '(?is)<loc[^>]*>\\s*(?:<!\\[CDATA\\[)?(.*?)(?:\\]\\]>)?\\s*</loc>',
+           1)), '&amp;', '&') AS loc,
+       regexp_matches(body, '(?is)<\\s*sitemapindex[\\s>]') AS is_index
+FROM smaps
+""",
+        # q54: the WET record layout restated verbatim — strlen is
+        # DuckDB's BYTE length (octet_length's twin); the planted 'é'
+        # makes a char-count confusion hash-visible
+        "q54_wet_export": """
+WITH wpages AS (
+  SELECT 'https://w' || (doc_id % 9) || '.example.com/p/' || doc_id AS url,
+         '2025-03-0' || ((doc_id % 9) + 1) || 'T08:00:00Z' AS ts,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE text || ' é' END AS t
+  FROM documents
+)
+SELECT 'WARC/1.0' || e'\\r\\n'
+    || 'WARC-Type: conversion' || e'\\r\\n'
+    || 'WARC-Target-URI: ' || url || e'\\r\\n'
+    || 'WARC-Date: ' || ts || e'\\r\\n'
+    || 'Content-Type: text/plain' || e'\\r\\n'
+    || 'Content-Length: ' || strlen(t) || e'\\r\\n\\r\\n'
+    || t || e'\\r\\n\\r\\n' AS value
+FROM wpages WHERE t IS NOT NULL
 """,
         # q53: unordered-pair co-occurrence with marginals over the
         # same mentions CTE (distinct (doc, lower(surface)) then a

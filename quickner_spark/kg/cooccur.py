@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from quickner_spark.operators.caching import track
+
 __all__ = ["cooccurrence", "with_npmi"]
 
 
@@ -33,7 +35,12 @@ def cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
     ``max_per_doc`` drops documents whose distinct-entity count exceeds
     the cap BEFORE pair expansion (the quadratic guard; None = no cap —
     corpus-scale callers should set one). ``min_docs`` prunes rare
-    pairs after aggregation."""
+    pairs after aggregation.
+
+    The deduped (doc, entity) projection is referenced four times
+    (corpus count, marginals, both self-join sides), so it is cached
+    under the scoped-cache contract — call ``caching.release(result)``
+    after the final action, or the distinct shuffle runs four times."""
     de = (mentions.select(F.col(doc_col).alias("doc"),
                           F.col(key_col).alias("e"))
           .distinct())
@@ -41,6 +48,7 @@ def cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
         per_doc = de.groupBy("doc").agg(F.count("*").alias("__k"))
         de = (de.join(per_doc.where(F.col("__k") <= max_per_doc)
                       .select("doc"), "doc"))
+    de = de.cache()
     n_corpus = de.select("doc").distinct().agg(
         F.count("*").alias("n_corpus"))
     marg = de.groupBy("e").agg(F.count("*").alias("n"))
@@ -53,9 +61,10 @@ def cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
         pairs = pairs.where(F.col("n_docs") >= min_docs)
     m1 = marg.select(F.col("e").alias("e1"), F.col("n").alias("n_e1"))
     m2 = marg.select(F.col("e").alias("e2"), F.col("n").alias("n_e2"))
-    return (pairs.join(m1, "e1").join(m2, "e2")
-            .join(F.broadcast(n_corpus))
-            .select("e1", "e2", "n_docs", "n_e1", "n_e2", "n_corpus"))
+    out = (pairs.join(m1, "e1").join(m2, "e2")
+           .join(F.broadcast(n_corpus))
+           .select("e1", "e2", "n_docs", "n_e1", "n_e2", "n_corpus"))
+    return track(out, de)
 
 
 def with_npmi(cooc: DataFrame) -> DataFrame:

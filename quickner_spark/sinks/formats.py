@@ -27,12 +27,14 @@ import json
 import os
 from typing import Iterator
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
     "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
     "spacy_lines", "conll_lines", "brat_lines", "ntriples_lines",
+    "wet_lines",
 ]
 
 
@@ -331,3 +333,35 @@ def ntriples_lines(edges: DataFrame, base_iri: str = "http://example.org/kg/",
                    _nt_iri(F.col(pred_col)), F.lit(">"))
     line = F.concat_ws(" ", ent(subj_col), prd, ent(obj_col), F.lit("."))
     return edges.select(*keep_cols, line.alias("value"))
+
+
+def wet_lines(pages: DataFrame, url_col: str = "url",
+              text_col: str = "text",
+              ts_col: str | None = "warc_ts") -> DataFrame:
+    """Common-Crawl WET sink: one WARC ``conversion`` record per page as
+    a single multi-line string — the extracted-text companion format to
+    ``sources.warc.read_warc`` (pages in as WARC, text out as WET).
+    ``.write.text`` + gzip lands ``.warc.wet``-shaped output ready for
+    any CC-consuming pipeline.
+
+    Record layout (WARC/1.0, ISO 28500 §4): version line, Type/Target-
+    URI/Date/Content-Type headers, Content-Length in BYTES of the UTF-8
+    text (``octet_length``, not character count), blank line, payload,
+    trailing blank lines. All one JVM concat — no Python. A timestamp
+    ``ts_col`` formats as ISO-8601 in the SESSION timezone (set
+    ``spark.sql.session.timeZone=UTC`` for spec-conformant output); a
+    string column passes through verbatim; ``None`` omits WARC-Date.
+    Pages whose text is NULL (dropped by the extractor) are skipped."""
+    txt = F.col(text_col)
+    parts = [F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+                   "WARC-Target-URI: "), F.col(url_col)]
+    if ts_col is not None:
+        ts: Column = F.col(ts_col)
+        if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
+            ts = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        parts += [F.lit("\r\nWARC-Date: "), ts]
+    parts += [F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+              F.octet_length(txt).cast("string"),
+              F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n")]
+    return (pages.where(txt.isNotNull())
+            .select(F.concat(*parts).alias("value")))

@@ -66,3 +66,17 @@ def test_npmi_perfect_cooccurrence_is_one(spark):
                                Row(doc_id="d", surface="y")])
     r = with_npmi(cooccurrence(m)).head()
     assert r["npmi"] == 1.0
+
+
+def test_scoped_cache_released(spark):
+    """cooccurrence caches the deduped projection (referenced 4x);
+    release() must leave no persistent RDDs behind."""
+    from quickner_spark.operators.caching import release
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+    out = cooccurrence(_mentions(spark))
+    out.count()
+    release(out)
+    assert sc.getPersistentRDDs().size() == base

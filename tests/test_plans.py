@@ -261,3 +261,66 @@ def test_khop_frontier_joins_and_degree_partial_agg(spark):
     dplan = _executed(degree_stats(edges, weight="weight"))
     assert "partial_count" in dplan or "partial" in dplan, dplan
     assert "CartesianProduct" not in dplan, dplan
+
+
+def test_psl_domains_hash_joins_not_nested_loop(spark):
+    """The PSL rule match must plan as broadcast HASH equi-joins — an
+    OR-of-conditions formulation would fall back to
+    BroadcastNestedLoopJoin and scan |candidates| x |rules|."""
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.weblinks import psl_domains
+
+    psl = spark.createDataFrame([Row(rule=r) for r in
+                                 ("com", "co.uk", "*.ck", "!www.ck")])
+    hosts = spark.createDataFrame(
+        [Row(host=h) for h in ("a.example.com", "b.co.uk", "c.ck")])
+    plan = _executed(psl_domains(hosts, psl))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cooccurrence_doc_keyed_join_partial_counts(spark):
+    """Pair expansion equi-joins on the doc key (no cartesian) and every
+    count aggregate has a map-side partial."""
+    from quickner_spark.kg.cooccur import cooccurrence
+
+    m = E.q01_mentions(spark, SF).select(
+        "doc_id", F.lower("surface").alias("surface"))
+    plan = _executed(cooccurrence(m, min_docs=2))
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE keyless broadcast join is by design: attaching the
+    # 1-row n_corpus aggregate; the pair expansion itself must hash-join
+    # (AQE prints the plan twice — final + initial — so count one section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial_count" in plan, plan
+    joins = [ln for ln in final.splitlines()
+             if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("doc" in ln for ln in joins), plan
+
+
+def test_robots_windows_partition_by_host(spark):
+    """Every parsing window keys on host — no global (empty-key) window,
+    which would serialize the whole rules corpus through one task."""
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.robots import robots_rules
+
+    robots = spark.createDataFrame([Row(
+        host="h.org", body="User-agent: *\nDisallow: /x/")])
+    plan = _executed(robots_rules(robots))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "host" in line, line
+
+
+def test_hits_joins_are_hash_equi(spark):
+    from quickner_spark.operators.graph import hits
+
+    edges = E.q28_kg_edges(spark, SF).select(
+        F.col("src"), F.col("dst"))
+    plan = _executed(hits(edges, iters=1))
+    assert "CartesianProduct" not in plan, plan

@@ -263,3 +263,73 @@ def test_ntriples_lines_on_triples_table(spark):
     (row,) = ntriples_lines(t, base_iri="urn:kg/", subj_col="subj",
                             obj_col="obj").collect()
     assert row["value"] == "<urn:kg/e/s> <urn:kg/p/p> <urn:kg/e/o> ."
+
+
+def test_wet_lines_byte_exact(spark):
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import wet_lines
+
+    df = spark.createDataFrame([
+        Row(url="https://h.org/p", warc_ts="2025-03-01T08:00:00Z",
+            text="héllo"),                    # 6 BYTES, 5 chars
+        Row(url="https://h.org/skip", warc_ts="2025-03-01T08:00:00Z",
+            text=None),                       # extractor-dropped
+    ])
+    got = [r["value"] for r in wet_lines(df).collect()]
+    assert got == [
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://h.org/p\r\n"
+        "WARC-Date: 2025-03-01T08:00:00Z\r\n"
+        "Content-Type: text/plain\r\n"
+        "Content-Length: 6\r\n"
+        "\r\n"
+        "héllo\r\n\r\n"
+    ]
+    # ts_col=None omits WARC-Date
+    (row,) = wet_lines(df.limit(1), ts_col=None).collect()
+    assert "WARC-Date" not in row["value"]
+
+
+def test_wet_lines_timestamp_formatting(spark):
+    from pyspark.sql import Row, functions as F
+
+    from quickner_spark.sinks.formats import wet_lines
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(
+            [Row(url="u", text="x")]).select(
+            "url", "text",
+            F.to_timestamp(F.lit("2025-03-01 08:15:30")).alias("warc_ts"))
+        (row,) = wet_lines(df).collect()
+        assert "WARC-Date: 2025-03-01T08:15:30Z\r\n" in row["value"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_wet_roundtrip_through_read_warc(spark, tmp_path):
+    """wet_lines output written as text parses back through read_warc's
+    conversion-record path: url/ts/payload all survive."""
+    import gzip
+
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import wet_lines
+    from quickner_spark.sources.warc import read_warc
+
+    rows = [Row(url=f"https://h.org/{i}",
+                warc_ts="2025-03-01T08:00:0%dZ" % i,
+                text=f"body {i} é") for i in range(3)]
+    lines = [r["value"] for r in
+             wet_lines(spark.createDataFrame(rows)).collect()]
+    wet = tmp_path / "seg.warc.wet.gz"
+    wet.write_bytes(gzip.compress("\n".join(lines).encode()))
+    back = (read_warc(spark, str(tmp_path), path_glob="*.warc.wet.gz",
+                      record_types=("conversion",))
+            .orderBy("url").collect())
+    assert [(r["url"], bytes(r["html"]).decode()) for r in back] == \
+        [(r.url, r.text) for r in rows]
+    assert back[0]["warc_ts"].isoformat().startswith("2025-03-01T08:00:00")

@@ -377,3 +377,29 @@ def test_pipeline_host_edges_stage(spark, tmp_path):
     assert pr.count() > 0
     # and the entity tables are unaffected by the extra stage
     assert pipe.table("edges").count() > 0
+
+
+def test_extract_sitemap_urls(spark):
+    from quickner_spark.kg.weblinks import extract_sitemap_urls
+
+    urlset = (b'<?xml version="1.0"?>\n<urlset>\n'
+              b'<url><loc>https://h.org/a?x=1&amp;y=2</loc></url>\n'
+              b'<url><LOC> https://h.org/b </LOC></url>\n'
+              b'<url><loc><![CDATA[https://h.org/c]]></loc></url>\n'
+              b'</urlset>')
+    index = (b'<sitemapindex><sitemap>'
+             b'<loc>https://h.org/maps/1.xml</loc>'
+             b'</sitemap></sitemapindex>')
+    df = spark.createDataFrame(
+        [("https://h.org/sitemap.xml", urlset),
+         ("https://h.org/sitemap_index.xml", index)],
+        "url string, body binary")
+    got = [(r["sitemap_url"], r["loc"], r["is_index"])
+           for r in extract_sitemap_urls(df).collect()]
+    assert got == [
+        ("https://h.org/sitemap.xml", "https://h.org/a?x=1&y=2", False),
+        ("https://h.org/sitemap.xml", "https://h.org/b", False),
+        ("https://h.org/sitemap.xml", "https://h.org/c", False),
+        ("https://h.org/sitemap_index.xml", "https://h.org/maps/1.xml",
+         True),
+    ]
