@@ -903,6 +903,53 @@ def q55_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sitemap_urls(maps)
 
 
+def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic capture table exercising every surt_key rule: case
+    folding, wwwN strip, default-port strip vs non-default keep,
+    userinfo drop, fragment drop, query-param sort, empty path."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    k = (i % 5).cast("string")
+    url = (F.when(i % 7 == 0, F.concat(F.lit("https://WWW.Ex"), k,
+                                       F.lit(".COM/P/"), s,
+                                       F.lit("?b=2&a=1#frag")))
+           .when(i % 7 == 1, F.concat(F.lit("http://www2.ex"), k,
+                                      F.lit(".com:80/p/"), s))
+           .when(i % 7 == 2, F.concat(F.lit("https://u:p@ex"), k,
+                                      F.lit(".com:443/Q/"), s))
+           .when(i % 7 == 3, F.concat(F.lit("http://ex"), k,
+                                      F.lit(".com:8080/r/"), s, F.lit("?")))
+           .when(i % 7 == 4, F.concat(F.lit("https://sub.ex"), k,
+                                      F.lit(".com")))
+           .otherwise(F.concat(F.lit("https://ex"), k, F.lit(".com/z/"), s,
+                               F.lit("?c=3&B=2&a=1"))))
+    return d.select(
+        url.alias("url"),
+        F.concat(F.lit("2025-03-0"), ((i % 9) + 1).cast("string"),
+                 F.lit("T08:00:0"), (i % 10).cast("string"),
+                 F.lit("Z")).alias("warc_ts"),
+        F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>"))
+         .cast("binary").alias("html"))
+
+
+def q56_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ URL-index export (sinks/formats.py::cdxj_lines +
+    kg/weblinks.py::surt_key): one 'SURT key, 14-digit ts, JSON block'
+    line per capture. Oracle mode uses the md5 digest twin (DuckDB has
+    no sha1; md5-over-UTF-8 agrees between F.md5(binary) and DuckDB
+    md5(varchar)); production default is sha1 (q56 prod twin)."""
+    from quickner_spark.sinks.formats import cdxj_lines
+
+    return cdxj_lines(_cdx_pages(spark, sf_dir), digest="md5")
+
+
+def q56_cdx_index_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickner_spark.sinks.formats import cdxj_lines
+
+    return cdxj_lines(_cdx_pages(spark, sf_dir), digest="sha1")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -955,6 +1002,7 @@ def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_lsh_knn": q16_lsh_knn_prod,
         "q24_ivf_knn": q24_ivf_knn_prod,
         "q31_lsh_dup_pairs": q31_lsh_dup_pairs_prod,
+        "q56_cdx_index": q56_cdx_index_prod,
     }
 
 
@@ -1015,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_cooccurrence": q53_cooccurrence,
         "q54_wet_export": q54_wet_export,
         "q55_sitemap_urls": q55_sitemap_urls,
+        "q56_cdx_index": q56_cdx_index,
     }
 
 
@@ -1962,6 +2011,72 @@ FROM h2 JOIN a2 ON a2.node = h2.node
         # q55: the sitemap <loc> scan restated — same (?is) lazy-group
         # regexp (RE2 and java.util.regex agree on leftmost-first
         # non-greedy semantics), same &amp; decode and is_index rlike
+        # q56: surt_key + the CDXJ record layout restated rule-by-rule —
+        # split_part/regexp twins of the Column chain, list_reverse/
+        # list_sort for label reversal and param sort (binary collation
+        # on both engines — the planted 'c=3&B=2&a=1' pins it), md5 over
+        # the same UTF-8 payload, strlen = octet_length
+        "q56_cdx_index": """
+WITH cap AS (
+  SELECT CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN 'https://WWW.Ex' || (doc_id % 5) || '.COM/P/'
+                       || doc_id || '?b=2&a=1#frag'
+           WHEN 1 THEN 'http://www2.ex' || (doc_id % 5) || '.com:80/p/'
+                       || doc_id
+           WHEN 2 THEN 'https://u:p@ex' || (doc_id % 5) || '.com:443/Q/'
+                       || doc_id
+           WHEN 3 THEN 'http://ex' || (doc_id % 5) || '.com:8080/r/'
+                       || doc_id || '?'
+           WHEN 4 THEN 'https://sub.ex' || (doc_id % 5) || '.com'
+           ELSE 'https://ex' || (doc_id % 5) || '.com/z/' || doc_id
+                || '?c=3&B=2&a=1'
+         END AS url,
+         '2025-03-0' || ((doc_id % 9) + 1) || 'T08:00:0' || (doc_id % 10)
+            || 'Z' AS ts,
+         '<html>' || text || '</html>' AS payload
+  FROM documents
+),
+p1 AS (
+  SELECT url, ts, payload,
+         regexp_replace(lower(split_part(url, '#', 1)),
+                        '^[a-z][a-z0-9+.-]*://', '') AS rest
+  FROM cap
+),
+p2 AS (
+  SELECT *, regexp_replace(
+               regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+                              '^.*@', ''),
+               ':(80|443)$', '') AS auth,
+            regexp_replace(rest, '^[^/?]*', '') AS path_q
+  FROM p1
+),
+p3 AS (
+  SELECT *, regexp_replace(split_part(auth, ':', 1),
+                           '^www[0-9]*\\.', '') AS host,
+            CASE WHEN position(':' IN auth) > 0
+                 THEN ':' || regexp_extract(auth, ':([^:]*)$', 1)
+                 ELSE '' END AS port,
+            split_part(path_q, '?', 1) AS path0,
+            CASE WHEN position('?' IN path_q) > 0
+                 THEN substr(path_q, position('?' IN path_q) + 1)
+                 ELSE '' END AS query
+  FROM p2
+),
+p4 AS (
+  SELECT *, array_to_string(list_reverse(string_split(host, '.')), ',')
+            || port AS rev,
+            CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+            array_to_string(list_sort(string_split(query, '&')), '&') AS qs
+  FROM p3
+)
+SELECT rev || ')' || path
+       || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+       || ' ' || substr(regexp_replace(ts, '[^0-9]', '', 'g'), 1, 14)
+       || ' {"url":"' || url || '","mime":"text/html","status":"200",'
+       || '"digest":"' || md5(payload) || '","length":"'
+       || strlen(payload) || '"}' AS value
+FROM p4
+""",
         "q55_sitemap_urls": """
 WITH smaps AS (
   SELECT 'https://s' || (doc_id % 6) || '.org/sitemap' || doc_id

@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 __all__ = ["extract_links", "extract_anchors", "extract_sitemap_urls",
            "resolve_href", "host_of", "host_graph", "anchor_dictionary",
            "aliases_from_anchors", "domain_of", "psl_domains",
-           "domain_graph", "normalize_url", "TRACKING_PARAMS"]
+           "domain_graph", "normalize_url", "surt_key", "TRACKING_PARAMS"]
 
 # one capture group, either quote style, case-insensitive on the tag and
 # attribute names (<A HREF=...> is valid html and common in older crawl
@@ -261,6 +261,55 @@ def normalize_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, path,
                     F.when(qs != "", F.concat(F.lit("?"), qs))
                      .otherwise(F.lit("")))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-form index key of a url (Sort-friendly URI Reordering
+    Transform) — the key Common Crawl's CDX URL index and the Wayback
+    family sort and range-scan by: host labels REVERSED and
+    comma-joined so one host's captures (and one domain's hosts) are a
+    contiguous key range, ``)`` separator, then path and query.
+    ``https://www.Example.com/A?b=2&a=1`` →
+    ``com,example)/a?a=1&b=2``.
+
+    Canonicalization (each rule restated bit-for-bit by the q56 DuckDB
+    oracle): the WHOLE url lowercases (index keys are case-folded,
+    unlike :func:`normalize_url` which preserves resource-significant
+    path case — the two serve different jobs: SURT keys locate captures,
+    normalize_url dedups revisits); fragment dropped; scheme dropped;
+    userinfo dropped; a leading ``www`` / ``www{N}`` label dropped;
+    ``:80``/``:443`` ports dropped (pragmatic: the scheme is already
+    gone, so both default ports strip unconditionally); query params
+    sorted lexicographically (order never distinguishes captures);
+    empty path becomes ``/``; an empty query's ``?`` drops.
+
+    Pure column work; the only array ops run on per-url label/param
+    arrays. Feed ``cdxj_lines(sort=True)`` — range-repartitioned by
+    this key — to land a globally ordered shard set without a
+    single-reducer sort."""
+    u = F.lower(F.substring_index(url, "#", 1))
+    rest = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    auth = F.substring_index(F.regexp_extract(rest, "^([^/?]*)", 1),
+                             "@", -1)
+    auth = F.regexp_replace(auth, ":(80|443)$", "")
+    host = F.substring_index(auth, ":", 1)
+    host = F.regexp_replace(host, "^www[0-9]*\\.", "")
+    # a non-default port survives AFTER the reversed labels (org,h:8080)
+    port = F.when(auth.contains(":"),
+                  F.concat(F.lit(":"), F.substring_index(auth, ":", -1))
+                  ).otherwise(F.lit(""))
+    rev = F.concat(F.array_join(F.reverse(F.split(host, "\\.")), ","), port)
+    path_q = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.substring_index(path_q, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # everything after the FIRST '?' (same split rule as normalize_url)
+    query = F.when(path_q.contains("?"),
+                   path_q.substr(F.locate("?", path_q) + F.lit(1),
+                                 F.length(path_q))).otherwise(F.lit(""))
+    qs = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(rev, F.lit(")"), path,
+                    F.when(qs == "", F.lit(""))
+                     .otherwise(F.concat(F.lit("?"), qs)))
 
 
 # second-level labels under which the registered domain spans THREE labels

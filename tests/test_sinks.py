@@ -333,3 +333,51 @@ def test_wet_roundtrip_through_read_warc(spark, tmp_path):
     assert [(r["url"], bytes(r["html"]).decode()) for r in back] == \
         [(r.url, r.text) for r in rows]
     assert back[0]["warc_ts"].isoformat().startswith("2025-03-01T08:00:00")
+
+
+def test_cdxj_lines_byte_exact(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import cdxj_lines
+
+    html = b"<html>x</html>"
+    df = spark.createDataFrame([Row(
+        url='https://www.H.org/A?b=2&a=1',
+        warc_ts="2025-03-01T08:00:05Z", html=bytearray(html))])
+    (row,) = cdxj_lines(df).collect()
+    assert row["value"] == (
+        'org,h)/a?a=1&b=2 20250301080005 '
+        '{"url":"https://www.H.org/A?b=2&a=1","mime":"text/html",'
+        f'"status":"200","digest":"{hashlib.sha1(html).hexdigest()}",'
+        f'"length":"{len(html)}"}}')
+    # md5 twin + status omission
+    (row,) = cdxj_lines(df, digest="md5", status=None).collect()
+    assert hashlib.md5(html).hexdigest() in row["value"]
+    assert '"status"' not in row["value"]
+
+
+def test_cdxj_lines_timestamp_column_and_sort(spark):
+    from pyspark.sql import Row, functions as F
+
+    from quickner_spark.sinks.formats import cdxj_lines
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = [Row(url=f"https://h{i % 7}.org/p/{i}", html=bytearray(b"x"))
+                for i in range(40)]
+        df = spark.createDataFrame(rows).select(
+            "*", F.to_timestamp(F.lit("2025-03-01 08:15:30")).alias("warc_ts"))
+        (row,) = cdxj_lines(df.limit(1)).collect()
+        assert " 20250301081530 " in row["value"]
+        # sort=True: shard set globally ordered — concatenating the
+        # partitions in order yields the fully sorted line list
+        out = cdxj_lines(df, sort=True, partitions=4)
+        parts = out.rdd.glom().collect()
+        flat = [r["value"] for p in parts for r in p]
+        assert flat == sorted(flat)
+        assert sum(1 for p in parts if p) >= 2  # actually range-partitioned
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

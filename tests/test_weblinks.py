@@ -403,3 +403,42 @@ def test_extract_sitemap_urls(spark):
         ("https://h.org/sitemap_index.xml", "https://h.org/maps/1.xml",
          True),
     ]
+
+
+def test_surt_key_rules(spark):
+    from pyspark.sql import functions as F
+
+    from quickner_spark.kg.weblinks import surt_key
+
+    cases = {
+        # case fold + www strip + query sort
+        "https://www.Example.com/A?b=2&a=1": "com,example)/a?a=1&b=2",
+        # www2 variant, fragment drop, empty path
+        "http://WWW2.Example.com#frag": "com,example)/",
+        # default port + userinfo drop; path case folds
+        "https://u:p@Sub.Example.com:443/Path": "com,example,sub)/path",
+        # non-default port kept; empty query's '?' drops
+        "http://h.org:8080/p?": "org,h:8080)/p",
+        # no scheme passes through the host extraction
+        "h.org/x": "org,h)/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(df.select("url", surt_key(F.col("url")).alias("k")).collect())
+    assert got == cases
+
+
+def test_surt_key_is_prefix_range_friendly(spark):
+    """All captures of one host share a key prefix; a domain's hosts sort
+    contiguously (the property the CDX index range-scans rely on)."""
+    from pyspark.sql import functions as F
+
+    from quickner_spark.kg.weblinks import surt_key
+
+    urls = ["https://a.example.com/x", "https://a.example.com/y?q=1",
+            "https://b.example.com/z", "https://other.org/w"]
+    ks = [r["k"] for r in spark.createDataFrame([(u,) for u in urls],
+                                                "url string")
+          .select(surt_key(F.col("url")).alias("k")).collect()]
+    assert ks[0].startswith("com,example,a)") and \
+        ks[1].startswith("com,example,a)")
+    assert sorted(ks)[:3] == sorted(ks[:3])  # example.com block contiguous
