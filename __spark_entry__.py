@@ -950,6 +950,80 @@ def q56_cdx_index_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdxj_lines(_cdx_pages(spark, sf_dir), digest="sha1")
 
 
+def _robots57(spark: SparkSession, sf_dir: str):
+    """Robots corpus + frontier for q57: per-host Crawl-delay variants
+    (decimal, min-across-groups, junk dropped, named-agent delay
+    invisible to *), one disallowed path family, priority column."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: gptbot\nCrawl-delay: 30\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /p"), k, F.lit("/\n"),
+        F.when(i % 10 % 3 == 0, F.lit("Crawl-delay: 2.5\n"))
+         .when(i % 10 % 3 == 1, F.lit("Crawl-delay: 4\n"))
+         .otherwise(F.lit("")),
+        F.when(i % 10 % 2 == 0,
+               F.lit("\nUser-agent: newsbot\nUser-agent: *\n"
+                     "Crawl-delay: 1\nCrawl-delay: junk\n"
+                     "Allow: /news/\n")).otherwise(F.lit("")))
+    robots = d.select(host.alias("host"), body.alias("body")).distinct()
+    s = i.cast("string")
+    v = i % 4
+    path = (F.when(v == 0, F.concat(F.lit("/p"), k, F.lit("/x/"), s))
+            .when(v == 1, F.concat(F.lit("/a/"), s))
+            .when(v == 2, F.concat(F.lit("/news/"), s))
+            .otherwise(F.concat(F.lit("/b/"), s)))
+    urls = d.select(F.concat(F.lit("https://"), host, path).alias("url"),
+                    (i % 7).cast("int").alias("prio"))
+    return robots, urls
+
+
+def q57_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (kg/robots.py::plan_frontier
+    composing robots_rules + crawl_delays + frontier_allowed): per-host
+    fetch order by (priority DESC, url), budget_per_host=20 cap, and
+    fetch_offset_s = (rank-1)·Crawl-delay (min across governing groups,
+    2.5/4↓1/default-1.0 variants; a named agent's 30 stays invisible to
+    the ``*`` caller; junk values drop). The oracle restates the group
+    machinery with the delay kind regex, the min-aggregate, and both
+    ranking windows; the offset's single int→double multiply is
+    IEEE-exact on both engines."""
+    from quickner_spark.kg.robots import (crawl_delays, plan_frontier,
+                                          robots_rules)
+
+    robots, urls = _robots57(spark, sf_dir)
+    return plan_frontier(urls, robots_rules(robots),
+                         crawl_delays(robots), priority_col="prio",
+                         budget_per_host=20)
+
+
+def q58_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directives from robots.txt (kg/robots.py::
+    robots_sitemaps): global scan — case-insensitive directive name,
+    comments stripped, group structure irrelevant (a Sitemap line
+    inside a named group still counts, per the sitemaps.org protocol).
+    Chains into extract_sitemap_urls (q55) as the crawl's discovery
+    path."""
+    from quickner_spark.kg.robots import robots_sitemaps
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x/\n"
+              "Sitemap: https://h"), k,
+        F.lit(".example.com/sitemap.xml # primary\n"),
+        F.when(i % 10 % 2 == 0,
+               F.concat(F.lit("User-agent: bot\nsitemap:https://h"), k,
+                        F.lit(".example.com/extra.xml\n")))
+         .otherwise(F.lit("")))
+    return robots_sitemaps(
+        d.select(host.alias("host"), body.alias("body")).distinct())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1064,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_wet_export": q54_wet_export,
         "q55_sitemap_urls": q55_sitemap_urls,
         "q56_cdx_index": q56_cdx_index,
+        "q57_frontier_plan": q57_frontier_plan,
+        "q58_robots_sitemaps": q58_robots_sitemaps,
     }
 
 
@@ -2011,6 +2087,142 @@ FROM h2 JOIN a2 ON a2.node = h2.node
         # q55: the sitemap <loc> scan restated — same (?is) lazy-group
         # regexp (RE2 and java.util.regex agree on leftmost-first
         # non-greedy semantics), same &amp; decode and is_index rlike
+        # q57: the politeness scheduler restated — group machinery with
+        # the delay kind regex, min() delay per host, the allowed filter
+        # (q52's restatement over this corpus), and both ranking windows;
+        # the offset multiply is one IEEE op on both engines
+        "q57_frontier_plan": """
+WITH robots AS (
+  SELECT DISTINCT 'h' || (doc_id % 10) || '.example.com' AS host,
+         e'User-agent: gptbot\\nCrawl-delay: 30\\nDisallow: /\\n\\n'
+         || 'User-agent: *' || e'\\nDisallow: /p' || (doc_id % 10)
+         || e'/\\n'
+         || CASE WHEN (doc_id % 10) % 3 = 0 THEN e'Crawl-delay: 2.5\\n'
+                 WHEN (doc_id % 10) % 3 = 1 THEN e'Crawl-delay: 4\\n'
+                 ELSE '' END
+         || CASE WHEN (doc_id % 10) % 2 = 0
+                 THEN e'\\nUser-agent: newsbot\\nUser-agent: *\\n'
+                      || e'Crawl-delay: 1\\nCrawl-delay: junk\\n'
+                      || e'Allow: /news/\\n'
+                 ELSE '' END AS body
+  FROM documents
+),
+rlines AS (
+  SELECT host, z[1] AS pos,
+         trim(regexp_replace(z[2], '#.*$', '')) AS line
+  FROM (SELECT host, unnest(list_zip(
+            range(1, len(string_split(body, e'\\n')) + 1),
+            string_split(body, e'\\n'))) AS z
+        FROM robots)
+),
+kinds AS (
+  SELECT host, pos,
+         lower(regexp_extract(line,
+             '(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:', 1))
+            AS kind,
+         trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS value
+  FROM rlines
+  WHERE regexp_extract(line,
+            '(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:', 1) <> ''
+),
+g1 AS (SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY pos) AS lagk
+       FROM kinds),
+g2 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+                          AND (lagk IS NULL OR lagk <> 'user-agent')
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS gid
+       FROM g1),
+g3 AS (SELECT *, max(CASE WHEN kind = 'user-agent' AND value = '*'
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host, gid) AS governs
+       FROM g2),
+rrules AS (
+  SELECT host, kind AS rule, value AS path FROM g3
+  WHERE governs = 1 AND gid > 0
+    AND kind IN ('allow', 'disallow') AND value <> ''
+),
+rdelays AS (
+  SELECT host, min(CAST(value AS DOUBLE)) AS delay_s FROM g3
+  WHERE governs = 1 AND gid > 0 AND kind = 'crawl-delay'
+    AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')
+  GROUP BY host
+),
+furls AS (
+  SELECT 'https://h' || (doc_id % 10) || '.example.com'
+         || CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN '/p' || (doc_id % 10) || '/x/' || doc_id
+              WHEN 1 THEN '/a/' || doc_id
+              WHEN 2 THEN '/news/' || doc_id
+              ELSE '/b/' || doc_id
+            END AS url,
+         CAST(doc_id % 7 AS INT) AS prio
+  FROM documents
+),
+u AS (
+  SELECT url, prio,
+         lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS h,
+         CASE WHEN p = '' THEN '/' ELSE p END AS upath
+  FROM (SELECT url, prio, regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+              '#.*$', '') AS p
+        FROM furls)
+),
+ukeys AS (SELECT DISTINCT h, upath FROM u),
+cand AS (
+  SELECT k.h, k.upath, r.rule, r.path
+  FROM ukeys k JOIN rrules r ON r.host = k.h
+  WHERE starts_with(k.upath, r.path)
+),
+winner AS (
+  SELECT h, upath, rule FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY h, upath
+        ORDER BY len(path) DESC, (rule = 'allow') DESC, path, rule) AS rn
+    FROM cand)
+  WHERE rn = 1
+),
+allowed AS (
+  SELECT u.url, u.prio, u.h AS host
+  FROM u LEFT JOIN winner w ON w.h = u.h AND w.upath = u.upath
+  WHERE coalesce(w.rule, 'allow') <> 'disallow'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY prio DESC, url) AS fetch_rank
+  FROM allowed
+)
+SELECT r.url, r.prio, r.host, r.fetch_rank,
+       CAST(r.fetch_rank - 1 AS DOUBLE)
+         * coalesce(d.delay_s, 1.0) AS fetch_offset_s
+FROM ranked r LEFT JOIN rdelays d ON d.host = r.host
+WHERE r.fetch_rank <= 20
+""",
+        # q58: the global Sitemap line scan restated (comment strip,
+        # case-insensitive directive, no-space form, group-independent)
+        "q58_robots_sitemaps": """
+WITH robots AS (
+  SELECT DISTINCT 'h' || (doc_id % 10) || '.example.com' AS host,
+         e'User-agent: *\\nDisallow: /x/\\n'
+         || 'Sitemap: https://h' || (doc_id % 10)
+         || e'.example.com/sitemap.xml # primary\\n'
+         || CASE WHEN (doc_id % 10) % 2 = 0
+                 THEN 'User-agent: bot' || e'\\nsitemap:https://h'
+                      || (doc_id % 10) || e'.example.com/extra.xml\\n'
+                 ELSE '' END AS body
+  FROM documents
+),
+rlines AS (
+  SELECT host, trim(regexp_replace(unnest(string_split(body, e'\\n')),
+                                   '#.*$', '')) AS line
+  FROM robots
+)
+SELECT host,
+       trim(regexp_extract(line, '(?i)^sitemap\\s*:(.*)$', 1)) AS sitemap
+FROM rlines
+WHERE trim(regexp_extract(line, '(?i)^sitemap\\s*:(.*)$', 1)) <> ''
+""",
         # q56: surt_key + the CDXJ record layout restated rule-by-rule —
         # split_part/regexp twins of the Column chain, list_reverse/
         # list_sort for label reversal and param sort (binary collation

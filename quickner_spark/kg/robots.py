@@ -1,10 +1,11 @@
-"""robots.txt parsing and crawl-frontier filtering.
+"""robots.txt parsing and crawl-frontier filtering / scheduling.
 
 A crawl-side KG build reads robots.txt before it reads pages; this
-module turns a corpus of fetched robots bodies into a rules table and
-applies it to a URL frontier — all Column work, no Python in the data
-path, every rule below restated by the q52 DuckDB oracle so the parsing
-semantics themselves are cross-engine pinned.
+module turns a corpus of fetched robots bodies into rules / delay /
+sitemap tables and applies them to a URL frontier — all Column work, no
+Python in the data path, every rule below restated by the q52/q57/q58
+DuckDB oracles so the parsing semantics themselves are cross-engine
+pinned.
 
 Semantics (the practical subset of RFC 9309):
 
@@ -21,39 +22,52 @@ Semantics (the practical subset of RFC 9309):
   dropped, likewise an empty Allow.
 * precedence per URL: the longest matching path wins; on equal length
   Allow beats Disallow (RFC 9309 §2.2.2); no governing rule -> allowed.
+* ``Crawl-delay`` (de-facto extension, not in RFC 9309): seconds per
+  governing group; when several governing groups disagree the MINIMUM
+  survives (deterministic; real crawlers pick their most specific
+  group — with ``*`` + exact matching the min is the specific one
+  whenever it is lower, i.e. the conservative-for-the-server choice is
+  made only between applicable values). Non-numeric values drop.
+* ``Sitemap:`` is a GLOBAL directive (outside any group, per the
+  sitemaps.org protocol) — scanned without the group machinery.
 
 Scale shape: parsing windows partition by host and are bounded by
 lines-per-robots-file (hundreds), never corpus size; the frontier join
 keys on host (rules tables are |hosts|-sized — broadcast when small),
 and the winner is picked per DISTINCT (host, path) so a frontier that
 revisits paths never re-ranks rules per duplicate URL.
+:func:`plan_frontier`'s politeness ranking windows partition by host —
+a hot host's candidate list serializes through one task (inherent: a
+per-host fetch ORDER is a per-host total order); apply
+``budget_per_host`` and pre-filter the frontier (seen-set anti-join,
+``normalize_url`` dedup) before planning to bound it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["robots_rules", "frontier_allowed"]
+__all__ = ["robots_rules", "frontier_allowed", "crawl_delays",
+           "robots_sitemaps", "plan_frontier"]
 
-_KIND_RE = "(?i)^(user-agent|allow|disallow)\\s*:"
+_RULES_RE = "(?i)^(user-agent|allow|disallow)\\s*:"
+_DELAY_RE = "(?i)^(user-agent|crawl-delay)\\s*:"
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host",
-                 body_col: str = "body",
-                 agent: str = "*") -> DataFrame:
-    """(host, rule, path) — the Allow/Disallow rules governing ``agent``
-    extracted from raw robots.txt bodies, one row per kept rule.
-
-    One posexplode over lines, one lag window (group starts), one
-    running-sum window (group ids), one max window (does any User-agent
-    line of my group name me) — all partitioned by host."""
+def _governed_lines(robots: DataFrame, host_col: str, body_col: str,
+                    agent: str, kind_re: str) -> DataFrame:
+    """(host, pos, kind, value, gid, governs) — robots bodies split into
+    directive lines with RFC 9309 group structure attached. One
+    posexplode over lines, one lag window (group starts), one running-sum
+    window (group ids), one max window (does any User-agent line of my
+    group name me) — all partitioned by host."""
     lines = (robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
         .select("host", "pos",
                 F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"))
         .select("host", "pos",
-                F.lower(F.regexp_extract("line", _KIND_RE, 1)).alias("kind"),
+                F.lower(F.regexp_extract("line", kind_re, 1)).alias("kind"),
                 F.trim(F.regexp_extract(
                     "line", "^[^:]*:(.*)$", 1)).alias("value"))
         .where(F.col("kind") != ""))
@@ -67,13 +81,59 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
     grp = Window.partitionBy("host", "gid")
     names_me = ua & ((F.col("value") == "*")
                      | (F.lower("value") == agent.lower()))
-    governed = lines.withColumn(
+    return lines.withColumn(
         "governs", F.max(names_me.cast("int")).over(grp) == 1)
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body",
+                 agent: str = "*") -> DataFrame:
+    """(host, rule, path) — the Allow/Disallow rules governing ``agent``
+    extracted from raw robots.txt bodies, one row per kept rule."""
+    governed = _governed_lines(robots, host_col, body_col, agent,
+                               _RULES_RE)
     return (governed
-            .where(F.col("governs") & (F.col("gid") > 0) & ~ua
+            .where(F.col("governs") & (F.col("gid") > 0)
+                   & (F.col("kind") != "user-agent")
                    & (F.col("value") != ""))
             .select("host", F.col("kind").alias("rule"),
                     F.col("value").alias("path")))
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body", agent: str = "*") -> DataFrame:
+    """(host, delay_s) — the Crawl-delay governing ``agent`` per host,
+    seconds as double (robots bodies carry integers or decimals like
+    ``1.5``; a single decimal-literal→double cast is bit-identical
+    cross-engine). Hosts without a governing numeric Crawl-delay are
+    absent — the caller supplies its own default politeness interval
+    (:func:`plan_frontier` ``default_delay``)."""
+    governed = _governed_lines(robots, host_col, body_col, agent,
+                               _DELAY_RE)
+    return (governed
+            .where(F.col("governs") & (F.col("gid") > 0)
+                   & (F.col("kind") == "crawl-delay")
+                   & F.col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+            .groupBy("host")
+            .agg(F.min(F.col("value").cast("double")).alias("delay_s")))
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """(host, sitemap) — every ``Sitemap:`` directive per host.
+    Global directives (sitemaps.org protocol): no group machinery, one
+    regexp line scan + explode, zero shuffle. Feed the output urls to
+    :func:`quickner_spark.kg.weblinks.extract_sitemap_urls` after
+    fetching them — robots.txt → sitemap → page urls is the crawl's
+    discovery chain."""
+    lines = (robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"))
+        .select("host",
+                F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line")))
+    sm = F.trim(F.regexp_extract("line", "(?i)^sitemap\\s*:(.*)$", 1))
+    return (lines.select("host", sm.alias("sitemap"))
+            .where(F.col("sitemap") != ""))
 
 
 def frontier_allowed(urls: DataFrame, rules: DataFrame,
@@ -113,3 +173,51 @@ def frontier_allowed(urls: DataFrame, rules: DataFrame,
             .select(*urls.columns,
                     (F.coalesce(F.col("__w"), F.lit("allow"))
                      != "disallow").alias("allowed")))
+
+
+def plan_frontier(urls: DataFrame, rules: DataFrame,
+                  delays: DataFrame | None = None,
+                  url_col: str = "url", priority_col: str | None = None,
+                  budget_per_host: int | None = None,
+                  default_delay: float = 1.0) -> DataFrame:
+    """The crawl scheduler's core decision, composed from this module's
+    pieces: which frontier URLs may be fetched, in what per-host order,
+    and WHEN — ``(…urls columns…, host, fetch_rank, fetch_offset_s)``.
+
+    * robots filtering: :func:`frontier_allowed`; disallowed urls drop.
+    * per-host order: ``priority_col`` DESC when given (feed host
+      PageRank, anchor in-degree, or sitemap priority), url ASC as the
+      deterministic tiebreak.
+    * ``budget_per_host``: ranks beyond the budget drop — the crawl's
+      per-host page cap. Politeness makes a host's fetches SEQUENTIAL,
+      so with delay d the budget also bounds each host's crawl-round
+      wall clock at ``budget · d`` seconds.
+    * ``fetch_offset_s = (fetch_rank − 1) · delay``: the earliest
+      politeness-respecting fetch time relative to the host's first
+      fetch. Delay comes from ``delays`` (:func:`crawl_delays` output,
+      host-keyed) with ``default_delay`` for hosts that set none.
+
+    Scale notes: the ranking window partitions by host — the frontier
+    shuffles once on host and each host ranks independently; a
+    degenerate hot host serializes through one task (see module
+    docstring). The delays join is |hosts|-bounded."""
+    allowed = (frontier_allowed(urls, rules, url_col)
+               .where(F.col("allowed")).drop("allowed"))
+    from quickner_spark.kg.weblinks import host_of
+
+    a = allowed.withColumn("host", host_of(F.col(url_col)))
+    order = ([F.col(priority_col).desc()] if priority_col else []) \
+        + [F.col(url_col)]
+    w = Window.partitionBy("host").orderBy(*order)
+    a = a.withColumn("fetch_rank", F.row_number().over(w))
+    if budget_per_host is not None:
+        a = a.where(F.col("fetch_rank") <= budget_per_host)
+    if delays is not None:
+        a = a.join(delays, "host", "left")
+        delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay)))
+    else:
+        delay = F.lit(float(default_delay))
+    return (a.withColumn(
+        "fetch_offset_s",
+        (F.col("fetch_rank") - F.lit(1)).cast("double") * delay)
+        .drop("delay_s"))

@@ -324,3 +324,24 @@ def test_hits_joins_are_hash_equi(spark):
         F.col("src"), F.col("dst"))
     plan = _executed(hits(edges, iters=1))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_plan_frontier_windows_keyed_and_delays_join(spark):
+    """plan_frontier: the politeness ranking window partitions by host
+    (no empty-key window serializing the frontier) and there is no
+    cartesian product anywhere in the composition."""
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.robots import (crawl_delays, plan_frontier,
+                                          robots_rules)
+
+    robots = spark.createDataFrame([Row(
+        host="h.org", body="User-agent: *\nCrawl-delay: 2\nDisallow: /x/")])
+    urls = spark.createDataFrame([Row(url="https://h.org/a", prio=1)])
+    plan = _executed(plan_frontier(urls, robots_rules(robots),
+                                   crawl_delays(robots),
+                                   priority_col="prio"))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "host" in line, line

@@ -97,3 +97,76 @@ def test_input_columns_preserved(spark):
         [Row(url="https://h.org/x", depth=3, src="seed")])
     r = frontier_allowed(urls, rules).head()
     assert (r["depth"], r["src"], r["allowed"]) == (3, "seed", False)
+
+
+DELAY_BODY = """User-agent: megabot
+Crawl-delay: 30
+
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /private/
+
+User-agent: newsbot
+User-agent: *
+Crawl-delay: 1
+Crawl-delay: junk
+
+Sitemap: https://h.org/sitemap.xml
+sitemap: https://h.org/extra.xml  # comment stripped
+"""
+
+
+def test_crawl_delays_min_across_governing_groups(spark):
+    from quickner_spark.kg.robots import crawl_delays
+
+    df = spark.createDataFrame([Row(host="h.org", body=DELAY_BODY),
+                                Row(host="none.org", body="User-agent: *\nDisallow: /x/")])
+    got = {(r["host"], r["delay_s"]) for r in crawl_delays(df).collect()}
+    # megabot's 30 is invisible to *, junk drops, min(2.5, 1) = 1.0;
+    # a host with no delay directive is absent
+    assert got == {("h.org", 1.0)}
+    got = crawl_delays(df, agent="megabot").collect()
+    # the megabot group (30) AND both *-groups govern megabot: min = 1.0
+    assert {(r["host"], r["delay_s"]) for r in got} == {("h.org", 1.0)}
+
+
+def test_robots_sitemaps_global_scan(spark):
+    from quickner_spark.kg.robots import robots_sitemaps
+
+    df = spark.createDataFrame([Row(host="h.org", body=DELAY_BODY)])
+    got = {(r["host"], r["sitemap"]) for r in robots_sitemaps(df).collect()}
+    assert got == {("h.org", "https://h.org/sitemap.xml"),
+                   ("h.org", "https://h.org/extra.xml")}
+
+
+def test_plan_frontier_order_budget_offsets(spark):
+    from quickner_spark.kg.robots import (crawl_delays, plan_frontier,
+                                          robots_rules)
+
+    robots = spark.createDataFrame([
+        Row(host="h.org", body=DELAY_BODY),
+        Row(host="fast.org", body="User-agent: *\nAllow: /"),
+    ])
+    rules, delays = robots_rules(robots), crawl_delays(robots)
+    urls = spark.createDataFrame(
+        [Row(url="https://h.org/private/x", prio=9),   # disallowed
+         Row(url="https://h.org/a", prio=1),
+         Row(url="https://h.org/b", prio=7),
+         Row(url="https://h.org/c", prio=7),           # tie -> url asc
+         Row(url="https://fast.org/only", prio=0)])
+    got = {r["url"]: (r["fetch_rank"], r["fetch_offset_s"])
+           for r in plan_frontier(urls, rules, delays,
+                                  priority_col="prio").collect()}
+    assert "https://h.org/private/x" not in got
+    # h.org delay 1.0; prio desc then url asc
+    assert got["https://h.org/b"] == (1, 0.0)
+    assert got["https://h.org/c"] == (2, 1.0)
+    assert got["https://h.org/a"] == (3, 2.0)
+    # fast.org has no Crawl-delay -> default_delay 1.0
+    assert got["https://fast.org/only"] == (1, 0.0)
+    # budget caps ranks; no priority -> url-ascending order
+    got = {r["url"]: r["fetch_rank"]
+           for r in plan_frontier(urls, rules, delays,
+                                  budget_per_host=2).collect()}
+    assert got == {"https://h.org/a": 1, "https://h.org/b": 2,
+                   "https://fast.org/only": 1}
