@@ -1024,6 +1024,44 @@ def q58_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(host.alias("host"), body.alias("body")).distinct())
 
 
+def q59_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WAT export (sinks/formats.py::wat_lines): one WARC
+    metadata record per page, JSON payload = head signals (q50's
+    title/robots/canonical regexps) + the IN-ROW anchor-href array (no
+    join against the exploded links table). The planted 'é' in the
+    title pins Content-Length as BYTES of the payload (strlen vs
+    octet_length); absent signals serialize as empty strings and
+    no-anchor pages as an empty links array."""
+    from quickner_spark.sinks.formats import wat_lines
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    k = (i % 6).cast("string")
+    html = F.concat(
+        F.lit("<html><head><TITLE>Doc "), s, F.lit(" é</TITLE>"),
+        F.when(i % 4 == 0,
+               F.lit('<meta name="robots" content="NOINDEX, nofollow">'))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://c'), k,
+                        F.lit(".org/p/"), s, F.lit('">')))
+         .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(i % 7 == 0, F.lit("no anchors here"))
+         .otherwise(F.concat(
+             F.lit('<a href="/l/'), s, F.lit('">x</a> <A HREF="https://o'),
+             k, F.lit(".org/y/"), s, F.lit('">y</A>'))),
+        F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://w"), k, F.lit(".example.org/p/"), s)
+         .alias("url"),
+        F.concat(F.lit("2025-03-0"), ((i % 9) + 1).cast("string"),
+                 F.lit("T09:00:00Z")).alias("warc_ts"),
+        html.cast("binary").alias("html"))
+    return wat_lines(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1140,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_cdx_index": q56_cdx_index,
         "q57_frontier_plan": q57_frontier_plan,
         "q58_robots_sitemaps": q58_robots_sitemaps,
+        "q59_wat_export": q59_wat_export,
     }
 
 
@@ -2087,6 +2126,62 @@ FROM h2 JOIN a2 ON a2.node = h2.node
         # q55: the sitemap <loc> scan restated — same (?is) lazy-group
         # regexp (RE2 and java.util.regex agree on leftmost-first
         # non-greedy semantics), same &amp; decode and is_index rlike
+        # q59: the WAT record restated — q50's three head regexps, the
+        # q45 href scan as an in-row list (list_transform quoting — the
+        # corpus alphabet needs no JSON escapes; the engine writer DOES
+        # escape, pinned by the hostile-text pytest case), strlen = byte
+        # Content-Length over the planted-'é' payload
+        "q59_wat_export": """
+WITH wpages AS (
+  SELECT 'https://w' || (doc_id % 6) || '.example.org/p/' || doc_id AS url,
+         '2025-03-0' || ((doc_id % 9) + 1) || 'T09:00:00Z' AS ts,
+         '<html><head><TITLE>Doc ' || doc_id || ' é</TITLE>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<meta name="robots" content="NOINDEX, nofollow">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '<link rel="canonical" href="https://c'
+                      || (doc_id % 6) || '.org/p/' || doc_id || '">'
+                 ELSE '' END
+         || '</head><body>'
+         || CASE WHEN doc_id % 7 = 0 THEN 'no anchors here'
+                 ELSE '<a href="/l/' || doc_id
+                      || '">x</a> <A HREF="https://o' || (doc_id % 6)
+                      || '.org/y/' || doc_id || '">y</A>' END
+         || '</body></html>' AS html
+  FROM documents
+),
+payloads AS (
+  SELECT url, ts,
+         '{"url":"' || url || '","title":"'
+         || regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1)
+         || '","robots":"'
+         || lower(regexp_extract(html,
+              '(?i)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*'
+              || 'content\\s*=\\s*["'']([^"'']*)["'']', 1))
+         || '","canonical":"'
+         || regexp_extract(html,
+              '(?i)<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*'
+              || 'href\\s*=\\s*["'']([^"'']*)["'']', 1)
+         || '","links":['
+         -- array_to_string of an EMPTY list is NULL in DuckDB (Spark
+         -- concat_ws gives ''): coalesce restores the no-anchor case
+         || coalesce(array_to_string(list_transform(
+              regexp_extract_all(html,
+                '(?i)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1),
+              x -> '"' || x || '"'), ','), '')
+         || ']}' AS payload
+  FROM wpages
+)
+SELECT 'WARC/1.0' || e'\\r\\n'
+    || 'WARC-Type: metadata' || e'\\r\\n'
+    || 'WARC-Target-URI: ' || url || e'\\r\\n'
+    || 'WARC-Date: ' || ts || e'\\r\\n'
+    || 'Content-Type: application/json' || e'\\r\\n'
+    || 'Content-Length: ' || strlen(payload) || e'\\r\\n\\r\\n'
+    || payload || e'\\r\\n\\r\\n' AS value
+FROM payloads
+""",
         # q57: the politeness scheduler restated — group machinery with
         # the delay kind regex, min() delay per host, the allowed filter
         # (q52's restatement over this corpus), and both ranking windows;

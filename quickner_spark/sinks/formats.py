@@ -34,7 +34,7 @@ __all__ = [
     "save_annotations", "to_jsonl", "to_spacy", "to_csv", "to_brat",
     "to_conll", "to_numpy", "spacy_generator", "jsonl_lines",
     "spacy_lines", "conll_lines", "brat_lines", "ntriples_lines",
-    "wet_lines", "cdxj_lines",
+    "wet_lines", "cdxj_lines", "wat_lines",
 ]
 
 
@@ -424,3 +424,50 @@ def cdxj_lines(pages: DataFrame, url_col: str = "url",
         out = (out.repartitionByRange(int(n), "value")
                .sortWithinPartitions("value"))
     return out
+
+
+def wat_lines(pages: DataFrame, url_col: str = "url",
+              ts_col: str | None = "warc_ts",
+              html_col: str = "html") -> DataFrame:
+    """Common-Crawl WAT sink (simplified): one WARC ``metadata`` record
+    per page whose JSON payload carries the computed page metadata —
+    completing the CC artifact family this engine speaks (WARC in via
+    ``read_warc``; WET/``wet_lines``, CDXJ/``cdxj_lines`` and WAT out).
+
+    Payload layout (a documented flat simplification of CC's nested
+    Envelope/Payload-Metadata WAT schema — same signals, one level):
+    ``{"url":…,"title":…,"robots":…,"canonical":…,"links":[href,…]}``
+    with title/robots/canonical per :mod:`quickner_spark.kg.pagemeta`
+    (first plain-text title, lowercased robots meta, rel=canonical) and
+    ``links`` the in-document-order anchor hrefs of
+    :func:`quickner_spark.kg.weblinks.extract_links` — computed here as
+    an IN-ROW ``regexp_extract_all`` array, so the record needs no join
+    or shuffle against the exploded links table. Every string is RFC
+    8259-escaped JVM-side; record framing matches ``wet_lines``
+    (Content-Type: application/json, Content-Length in UTF-8 bytes).
+    One decoded scan pass + one concat per page; no Python."""
+    from quickner_spark.kg.pagemeta import (canonical_of, robots_of,
+                                            title_of)
+    from quickner_spark.kg.weblinks import HREF_PATTERN, decoded_html
+
+    html = decoded_html(pages, html_col)
+    links = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
+    payload = F.concat(
+        F.lit('{"url":'), _json_str(F.col(url_col)),
+        F.lit(',"title":'), _json_str(title_of(html)),
+        F.lit(',"robots":'), _json_str(robots_of(html)),
+        F.lit(',"canonical":'), _json_str(canonical_of(html)),
+        F.lit(',"links":['),
+        F.concat_ws(",", F.transform(links, _json_str)), F.lit("]}"))
+    parts = [F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                   "WARC-Target-URI: "), F.col(url_col)]
+    if ts_col is not None:
+        ts: Column = F.col(ts_col)
+        if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
+            ts = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        parts += [F.lit("\r\nWARC-Date: "), ts]
+    parts += [F.lit("\r\nContent-Type: application/json\r\n"
+                    "Content-Length: "),
+              F.octet_length(payload).cast("string"),
+              F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n")]
+    return pages.select(F.concat(*parts).alias("value"))

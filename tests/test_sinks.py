@@ -381,3 +381,50 @@ def test_cdxj_lines_timestamp_column_and_sort(spark):
         assert sum(1 for p in parts if p) >= 2  # actually range-partitioned
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_wat_lines_byte_exact_and_json_parses(spark):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import wat_lines
+
+    html = ('<html><head><TITLE>A "B"é</TITLE>'
+            '<meta name="robots" content="NOINDEX, nofollow">'
+            '<link rel="canonical" href="https://h.org/c">'
+            '</head><body><a href="/x">x</a>'
+            '<A HREF="https://o.org/y">y</A></body></html>')
+    df = spark.createDataFrame([Row(
+        url="https://h.org/p", warc_ts="2025-03-01T08:00:00Z",
+        html=bytearray(html.encode()))])
+    (row,) = wat_lines(df).collect()
+    head, _, payload = row["value"].partition("\r\n\r\n")
+    assert head.startswith(
+        "WARC/1.0\r\nWARC-Type: metadata\r\n"
+        "WARC-Target-URI: https://h.org/p\r\n"
+        "WARC-Date: 2025-03-01T08:00:00Z\r\n"
+        "Content-Type: application/json\r\n"
+        "Content-Length: ")
+    body = payload[:-4]
+    assert int(head.rsplit(" ", 1)[1]) == len(body.encode())
+    assert _json.loads(body) == {
+        "url": "https://h.org/p", "title": 'A "B"é',
+        "robots": "noindex, nofollow", "canonical": "https://h.org/c",
+        "links": ["/x", "https://o.org/y"]}
+
+
+def test_wat_lines_absent_signals_and_no_links(spark):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import wat_lines
+
+    df = spark.createDataFrame([Row(
+        url="u", warc_ts="2025-01-01T00:00:00Z",
+        html=bytearray(b"<html><body>plain</body></html>"))])
+    (row,) = wat_lines(df).collect()
+    body = row["value"].partition("\r\n\r\n")[2][:-4]
+    assert _json.loads(body) == {"url": "u", "title": "", "robots": "",
+                                 "canonical": "", "links": []}
