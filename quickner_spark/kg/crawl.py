@@ -1,0 +1,129 @@
+"""BFS crawl-frontier orchestration (web-scale extension).
+
+Composes the crawl surface this round built — robots rules / delays
+(:mod:`quickner_spark.kg.robots`), politeness scheduling
+(:func:`~quickner_spark.kg.robots.plan_frontier`), link + sitemap
+discovery and URL canonicalization (:mod:`quickner_spark.kg.weblinks`)
+— into the loop a crawler actually runs:
+
+    frontier_0 = seeds
+    repeat: plan (robots + politeness + budget) → fetch → discover new
+    urls → canonical-dedup against everything seen → frontier_{i+1}
+
+Fetching is abstracted as a callable ``fetcher(plan) -> pages`` — in
+tests and simulations it is a join against a synthetic web table; in a
+real deployment it is the fetch fleet's output landing as WARC
+(:func:`quickner_spark.sources.warc.read_warc`). The loop itself is
+engine work: frontier management, dedup state, politeness — exactly the
+parts that must scale.
+
+Scale shape per round: one politeness shuffle (host-keyed window in
+``plan_frontier``), the fetcher's own cost, one link scan (zero
+shuffle), one normalize+distinct, and ONE anti-join of the candidate
+set against the seen table — the crawl-db pattern. The seen table is
+the only state that grows; it is url-keyed and ``localCheckpoint``-ed
+each round so lineage stays flat (the same contract as
+``operators.graph.pagerank``). At 10^12 urls the seen table is the
+dominant join side — pre-partition it on the canonical key (bucketed
+storage) so the per-round anti-join co-locates; the loop keys every
+join on ``normalize_url`` output, so bucketing by that key is stable
+across rounds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from quickner_spark.kg.robots import plan_frontier
+from quickner_spark.kg.weblinks import (extract_links, host_of,
+                                        normalize_url, resolve_href)
+
+__all__ = ["crawl", "CrawlResult", "discovered_urls"]
+
+
+def discovered_urls(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url) — absolute http(s) URLs discovered in fetched pages:
+    anchor hrefs resolved against the page url (host-root rule, same
+    as the host graph). One regexp scan + explode; zero shuffle."""
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    absu = resolve_href(F.col(url_col), F.col("href"))
+    return (links.select(absu.alias("url"))
+            .where(F.col("url").rlike("^https?://")
+                   & (host_of(F.col("url")) != "")))
+
+
+@dataclass
+class CrawlResult:
+    """Outcome of :func:`crawl`: every fetched page tagged with its
+    round, the per-round frontier sizes, and the final seen table."""
+    pages: DataFrame            # fetcher columns + crawl_round
+    # (url_norm,) — every canonical key ever ENQUEUED (seeds + all
+    # discovered candidates, fetched or not): robots-disallowed urls
+    # stay recorded so they never bounce back into later frontiers
+    seen: DataFrame
+    frontier_sizes: list[int] = field(default_factory=list)
+    fetched_counts: list[int] = field(default_factory=list)
+
+
+def crawl(seeds: DataFrame,
+          fetcher: Callable[[DataFrame], DataFrame],
+          rules: DataFrame,
+          delays: DataFrame | None = None,
+          rounds: int = 3,
+          budget_per_host: int | None = None,
+          priority_col: str | None = None,
+          url_col: str = "url") -> CrawlResult:
+    """Run ``rounds`` BFS crawl rounds from ``seeds``.
+
+    Each round: ``plan_frontier`` filters and schedules the frontier
+    (robots ``rules``/``delays``, per-host ``budget_per_host``,
+    ``priority_col`` order); ``fetcher`` maps the plan to fetched pages
+    (must return at least (url, html) — extra columns pass through);
+    :func:`discovered_urls` extracts candidates;
+    :func:`~quickner_spark.kg.weblinks.normalize_url` + distinct +
+    anti-join against the seen table yields the next frontier. The
+    loop stops early when a frontier is empty. Budget ranks beyond the
+    cap are DROPPED, not deferred (the sitemaps.org/crawl convention:
+    next round's fresh discovery re-surfaces anything still linked).
+
+    Determinism: every step is deterministic given the fetcher, so two
+    runs produce identical page sets (test-pinned). The per-round
+    count() actions double as the lineage barrier points."""
+    spark = seeds.sparkSession
+    seen = (seeds.select(normalize_url(F.col(url_col)).alias("url_norm"))
+            .distinct().localCheckpoint())
+    frontier = seeds.select(F.col(url_col).alias("url")).distinct()
+    all_pages: DataFrame | None = None
+    sizes: list[int] = []
+    fetched: list[int] = []
+    for rnd in range(rounds):
+        n = frontier.count()
+        sizes.append(n)
+        if n == 0:
+            break
+        plan = plan_frontier(frontier, rules, delays,
+                             priority_col=priority_col,
+                             budget_per_host=budget_per_host)
+        pages = fetcher(plan).withColumn("crawl_round", F.lit(rnd))
+        pages = pages.localCheckpoint()
+        fetched.append(pages.count())
+        all_pages = pages if all_pages is None else all_pages.union(pages)
+        # min() picks the representative raw url per canonical key —
+        # dropDuplicates would keep a partition-order-dependent one
+        cand = (discovered_urls(pages)
+                .select(F.col("url"),
+                        normalize_url(F.col("url")).alias("url_norm"))
+                .groupBy("url_norm").agg(F.min("url").alias("url")))
+        fresh = cand.join(seen, "url_norm", "left_anti")
+        seen = (seen.union(fresh.select("url_norm"))
+                .localCheckpoint())
+        frontier = fresh.select("url").localCheckpoint()
+    if all_pages is None:
+        all_pages = spark.createDataFrame([], "url string, html binary, "
+                                          "crawl_round int")
+    return CrawlResult(pages=all_pages, seen=seen,
+                       frontier_sizes=sizes, fetched_counts=fetched)

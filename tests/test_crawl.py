@@ -1,0 +1,116 @@
+"""BFS crawl orchestration (kg/crawl.py) over a synthetic web."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from quickner_spark.kg.crawl import CrawlResult, crawl, discovered_urls
+from quickner_spark.kg.robots import crawl_delays, robots_rules
+
+
+def _web(spark):
+    """Deterministic 3-hop web: seed → a,b; a → c, blocked; b → c, dup
+    of a (tracking junk); c → d (depth 3, only reached in round 2);
+    d → nothing. blocked is robots-disallowed."""
+    def page(links):
+        return ("<html><body>" +
+                "".join(f'<a href="{h}">x</a>' for h in links) +
+                "</body></html>").encode()
+
+    web = {
+        "https://h.org/seed": page(["/a", "https://o.org/b"]),
+        "https://h.org/a": page(["/c", "/private/blocked"]),
+        "https://o.org/b": page(["https://h.org/c",
+                                 "https://h.org/a?utm_campaign=z"]),
+        "https://h.org/c": page(["/d"]),
+        "https://h.org/d": page([]),
+        "https://h.org/private/blocked": page(["/never"]),
+    }
+    return spark.createDataFrame(
+        [Row(url=u, html=bytearray(b)) for u, b in web.items()])
+
+
+def _fetcher(web):
+    def fetch(plan):
+        return (plan.select("url")
+                .join(web, "url")
+                .select("url", "html"))
+    return fetch
+
+
+def _robots(spark):
+    return spark.createDataFrame([
+        Row(host="h.org", body="User-agent: *\nDisallow: /private/\n"
+                               "Crawl-delay: 1"),
+        Row(host="o.org", body="User-agent: *\nAllow: /")])
+
+
+def test_crawl_bfs_rounds_and_robots_and_dedup(spark):
+    web = _web(spark)
+    robots = _robots(spark)
+    res = crawl(spark.createDataFrame([Row(url="https://h.org/seed")]),
+                _fetcher(web), robots_rules(robots),
+                crawl_delays(robots), rounds=4)
+    got = {(r["url"], r["crawl_round"]) for r in res.pages.collect()}
+    assert got == {
+        ("https://h.org/seed", 0),
+        ("https://h.org/a", 1), ("https://o.org/b", 1),
+        # c discovered by both a and b in round 1 → fetched ONCE;
+        # a?utm_campaign=z normalizes to the already-seen a;
+        # blocked never fetched (robots)
+        ("https://h.org/c", 2),
+        ("https://h.org/d", 3),
+    }
+    # frontier sizes: seed, {a,b}, {c,blocked}, {d} — blocked is
+    # DISCOVERED (enters the frontier and seen) but plan_frontier drops
+    # it at fetch time, and seen-dedup keeps it from bouncing back
+    assert res.frontier_sizes == [1, 2, 2, 1]
+    assert res.fetched_counts == [1, 2, 1, 1]
+    seen = {r["url_norm"] for r in res.seen.collect()}
+    assert "https://h.org/private/blocked" in seen  # enqueued, never fetched
+    assert "https://h.org/d" in seen
+
+
+def test_crawl_early_stop_and_determinism(spark):
+    web = _web(spark)
+    robots = _robots(spark)
+    seeds = spark.createDataFrame([Row(url="https://h.org/d")])
+    res = crawl(seeds, _fetcher(web), robots_rules(robots), rounds=5)
+    # d links nowhere: round 1 frontier is empty, loop stops
+    assert res.frontier_sizes == [1, 0]
+    assert res.fetched_counts == [1]
+    # same crawl twice → identical page sets (pinned determinism)
+    res2 = crawl(seeds, _fetcher(web), robots_rules(robots), rounds=5)
+    assert sorted(res.pages.collect()) == sorted(res2.pages.collect())
+
+
+def test_crawl_budget_caps_per_host(spark):
+    # one host fanning out to 6 children; budget 2 per round
+    def page(links):
+        return ("<html><body>" +
+                "".join(f'<a href="{h}">x</a>' for h in links) +
+                "</body></html>").encode()
+
+    rows = [Row(url="https://h.org/seed",
+                html=bytearray(page([f"/k/{i}" for i in range(6)])))]
+    rows += [Row(url=f"https://h.org/k/{i}", html=bytearray(page([])))
+             for i in range(6)]
+    web = spark.createDataFrame(rows)
+    robots = spark.createDataFrame([
+        Row(host="h.org", body="User-agent: *\nAllow: /")])
+    res = crawl(spark.createDataFrame([Row(url="https://h.org/seed")]),
+                _fetcher(web), robots_rules(robots),
+                rounds=2, budget_per_host=2)
+    # round 1 fetches only the 2 url-ascending children
+    r1 = sorted(r["url"] for r in
+                res.pages.where(F.col("crawl_round") == 1).collect())
+    assert r1 == ["https://h.org/k/0", "https://h.org/k/1"]
+
+
+def test_discovered_urls_filters_nonhierarchical(spark):
+    html = (b'<html><a href="mailto:x@y.z">m</a>'
+            b'<a href="javascript:void(0)">j</a>'
+            b'<a href="/ok">k</a></html>')
+    df = spark.createDataFrame([Row(url="https://h.org/p", html=bytearray(html))])
+    got = [r["url"] for r in discovered_urls(df).collect()]
+    assert got == ["https://h.org/ok"]
