@@ -114,3 +114,65 @@ def test_discovered_urls_filters_nonhierarchical(spark):
     df = spark.createDataFrame([Row(url="https://h.org/p", html=bytearray(html))])
     got = [r["url"] for r in discovered_urls(df).collect()]
     assert got == ["https://h.org/ok"]
+
+
+def test_crawl_to_kg_end_to_end(spark, tmp_path):
+    """The crawl operating mode end-to-end: BFS-crawl a chained synthetic
+    messy web, feed the fetched pages into build_kg_pipeline with the
+    real-web extractor, and get the SAME KG tables as building directly
+    over the full corpus — crawl discovery loses nothing and the
+    appended (link-dense, classifier-dropped) nav chrome never leaks
+    into extraction."""
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg.crawl import crawl
+    from quickner_spark.kg.pipeline import build_kg_pipeline
+    from quickner_spark.kg.robots import robots_rules
+    from quickner_spark.kg.webextract import extract_text_web
+
+    n = 8
+    pages = corpus.synth_pages(spark, n, html_style="messy")
+    idx = F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("long")
+    nxt = pages.select((idx - 1).alias("i"), F.col("url").alias("next_url"))
+    # chain page i -> page i+1 with a short (classifier-dropped) nav div
+    web = (pages.withColumn("i", idx).join(nxt, "i", "left")
+           .withColumn("html", F.when(
+               F.col("next_url").isNotNull(),
+               F.concat(
+                   F.regexp_replace(F.decode("html", "UTF-8"),
+                                    "</body>", ""),
+                   F.lit('<div class="n"><a href="'), F.col("next_url"),
+                   F.lit('">next</a></div></body>')).cast("binary"))
+            .otherwise(F.col("html")))
+           .drop("i", "next_url")).cache()
+    hosts = web.select(
+        F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host")
+    ).distinct()
+    rules = robots_rules(hosts.withColumn(
+        "body", F.lit("User-agent: *\nAllow: /")))
+    seed = web.orderBy(idx.asc()).limit(1).select("url")
+
+    def fetch(plan):
+        return plan.select("url").join(web, "url").select(
+            "url", "warc_ts", "html", "text", "lang")
+
+    res = crawl(seed, fetch, rules, rounds=n)
+    assert res.pages.count() == n  # the whole chain got crawled
+    crawled_path = str(tmp_path / "crawled")
+    res.pages.drop("crawl_round").write.parquet(crawled_path)
+    direct_path = str(tmp_path / "direct")
+    web.write.parquet(direct_path)
+
+    gaz = corpus.synth_gazetteer(999, 42)
+    kgs = {}
+    for name, path in (("crawled", crawled_path), ("direct", direct_path)):
+        p = build_kg_pipeline(spark, str(tmp_path / (name + "_kg")),
+                              path, gaz, corpus.PREDICATES,
+                              extractor=extract_text_web)
+        p.run()
+        kgs[name] = p
+    for table in ("triples", "nodes", "edges"):
+        a = kgs["crawled"].table(table)
+        b = kgs["direct"].table(table)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, \
+            table
+    web.unpersist()
