@@ -1062,6 +1062,36 @@ def q59_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wat_lines(pages)
 
 
+def q60_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-charset sniffing (kg/pagemeta.py::charset_of): HTML5
+    meta-charset (quoted and unquoted) takes precedence over the legacy
+    http-equiv content-type form; absent declaration yields ''. The
+    per-row decode dispatch (decode_pages) is the pytest-covered Python
+    half; this query pins the column-level sniff the kernel mirrors."""
+    from quickner_spark.kg.pagemeta import charset_of
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    html = (F.when(i % 4 == 0, F.concat(
+                F.lit('<html><head><META CHARSET="ISO-8859-1"><title>t'),
+                s, F.lit("</title></head></html>")))
+            .when(i % 4 == 1, F.concat(
+                F.lit("<html><head><meta charset=utf-8><title>t"), s,
+                F.lit("</title></head></html>")))
+            .when(i % 4 == 2, F.concat(
+                F.lit('<html><head><meta http-equiv="Content-Type" '
+                      'content="text/html; charset=Windows-1252">'
+                      "<title>t"), s, F.lit("</title></head></html>")))
+            .otherwise(F.concat(F.lit("<html><head><title>t"), s,
+                                F.lit("</title></head></html>"))))
+    pages = d.select(
+        F.concat(F.lit("https://c.org/p/"), s).alias("url"),
+        html.alias("html"))
+    return pages.select(
+        "url", charset_of(F.col("html")).alias("charset"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1179,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_frontier_plan": q57_frontier_plan,
         "q58_robots_sitemaps": q58_robots_sitemaps,
         "q59_wat_export": q59_wat_export,
+        "q60_charset": q60_charset,
     }
 
 
@@ -2126,6 +2157,35 @@ FROM h2 JOIN a2 ON a2.node = h2.node
         # q55: the sitemap <loc> scan restated — same (?is) lazy-group
         # regexp (RE2 and java.util.regex agree on leftmost-first
         # non-greedy semantics), same &amp; decode and is_index rlike
+        # q60: both charset-declaration regexps + the precedence
+        # coalesce restated (nullif turns the no-match '' into the
+        # http-equiv fallback on both engines)
+        "q60_charset": """
+WITH cpages AS (
+  SELECT 'https://c.org/p/' || doc_id AS url,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '<html><head><META CHARSET="ISO-8859-1"><title>t'
+                       || doc_id || '</title></head></html>'
+           WHEN 1 THEN '<html><head><meta charset=utf-8><title>t'
+                       || doc_id || '</title></head></html>'
+           WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" '
+                       || 'content="text/html; charset=Windows-1252">'
+                       || '<title>t' || doc_id || '</title></head></html>'
+           ELSE '<html><head><title>t' || doc_id
+                || '</title></head></html>'
+         END AS html
+  FROM documents
+)
+SELECT url,
+       lower(coalesce(
+         nullif(regexp_extract(html,
+           '(?i)<meta\\s[^>]*charset\\s*=\\s*["'']?([A-Za-z0-9_.:-]+)',
+           1), ''),
+         regexp_extract(html,
+           '(?i)<meta\\s[^>]*content\\s*=\\s*["''][^"'']*'
+           || 'charset=([A-Za-z0-9_.:-]+)', 1))) AS charset
+FROM cpages
+""",
         # q59: the WAT record restated — q50's three head regexps, the
         # q45 href scan as an in-row list (list_transform quoting — the
         # corpus alphabet needs no JSON escapes; the engine writer DOES

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from quickner_spark.kg.weblinks import decoded_html
 
 __all__ = ["title_of", "robots_of", "noindex_of", "canonical_of",
-           "page_meta"]
+           "page_meta", "charset_of", "decode_pages"]
 
 # case-insensitive on tag/attribute names AND the robots/canonical
 # keyword values (<TITLE>, NAME="ROBOTS", Rel=Canonical are all valid)
@@ -81,3 +81,78 @@ def page_meta(pages: DataFrame, url_col: str = "url",
         robots_of(html).alias("robots"),
         noindex_of(html).alias("noindex"),
         canonical_of(html).alias("canonical"))
+
+
+# charset declaration forms, probed in precedence order: HTML5
+# <meta charset="X">, then the legacy http-equiv content-type. ASCII
+# superset assumption: the declaration itself is readable by decoding
+# the raw bytes as latin-1 (every byte maps; the regexes only consume
+# ASCII), which is how real sniffers bootstrap (WHATWG encoding sniff).
+_META_CHARSET_RE = '(?i)<meta\\s[^>]*charset\\s*=\\s*["\']?([A-Za-z0-9_.:-]+)'
+_HTTPEQUIV_RE = ('(?i)<meta\\s[^>]*content\\s*=\\s*["\'][^"\']*'
+                 'charset=([A-Za-z0-9_.:-]+)')
+
+
+def charset_of(html: Column) -> Column:
+    """Declared charset of a page (lowercased): the HTML5 ``<meta
+    charset=…>`` form, else the legacy ``http-equiv`` content-type
+    form, else ''. Feed a latin-1/ASCII-bootstrapped decode (the
+    declaration is ASCII by spec). Pure column work."""
+    c = F.coalesce(
+        F.nullif(F.regexp_extract(html, _META_CHARSET_RE, 1), F.lit("")),
+        F.regexp_extract(html, _HTTPEQUIV_RE, 1))
+    return F.lower(c)
+
+
+def decode_pages(pages: DataFrame, html_col: str = "html",
+                 out_col: str = "text_html",
+                 default: str = "utf-8") -> DataFrame:
+    """The pages table plus ``out_col``: the html BYTES decoded with
+    each page's declared charset (``charset_of`` over a latin-1
+    bootstrap read), falling back to ``default`` when the declaration
+    is absent or names an unknown codec; undecodable byte sequences
+    are replaced, never raised (crawl data is hostile — a corrupt page
+    must not kill a 100 TB stage).
+
+    One Arrow-batched ``mapInPandas`` kernel — the charset dispatch is
+    per-row Python by necessity (the JVM ``decode`` expression is
+    single-charset), but the bytes stay in-batch and the kernel is the
+    same shape as the extract stage's. Downstream column scans
+    (:func:`page_meta`, :mod:`~quickner_spark.kg.weblinks`) accept the
+    decoded STRING column directly."""
+    import codecs
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = pages.schema.fields + [T.StructField(out_col, T.StringType())]
+    schema = T.StructType(fields)
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import re
+        meta_re = re.compile(
+            r'(?is)<meta\s[^>]*charset\s*=\s*["\']?([A-Za-z0-9_.:-]+)')
+        equiv_re = re.compile(
+            r'(?is)<meta\s[^>]*content\s*=\s*["\'][^"\']*'
+            r'charset=([A-Za-z0-9_.:-]+)')
+        for pdf in batches:
+            out = []
+            for raw in pdf[html_col].values:
+                if raw is None:
+                    out.append(None)
+                    continue
+                b = bytes(raw)
+                boot = b.decode("latin-1")
+                m = meta_re.search(boot) or equiv_re.search(boot)
+                enc = m.group(1).lower() if m else default
+                try:
+                    codecs.lookup(enc)
+                except LookupError:
+                    enc = default
+                out.append(b.decode(enc, errors="replace"))
+            pdf[out_col] = out
+            yield pdf
+
+    return pages.mapInPandas(kernel, schema=schema)

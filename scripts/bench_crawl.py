@@ -26,7 +26,7 @@ import sys
 
 LO = int(os.environ.get("CRAWL_LO", "4"))
 HI = int(os.environ.get("CRAWL_HI", "16"))
-SEEDS = int(os.environ.get("CRAWL_SEEDS", "3000"))
+SEEDS = int(os.environ.get("CRAWL_SEEDS", "20000"))
 BRANCH = int(os.environ.get("CRAWL_BRANCH", "4"))
 ROUNDS = int(os.environ.get("CRAWL_ROUNDS", "4"))
 HOSTS = int(os.environ.get("CRAWL_HOSTS", "1000"))
@@ -41,12 +41,10 @@ from quickner_spark.session import get_spark
 seeds, branch, rounds, hosts, base = (int(sys.argv[1]), int(sys.argv[2]),
                                       int(sys.argv[3]), int(sys.argv[4]),
                                       sys.argv[5])
-# universe: every page reachable in `rounds` levels from the seed roots
-n = seeds
-total = seeds
-for _ in range(rounds - 1):
-    n *= branch
-    total += n
+# universe: every page FETCHABLE within `rounds` levels (ids tile
+# contiguously, so the max fetched id is ~seeds * branch^(rounds-1));
+# discoveries of the final round are never fetched and need no rows
+total = seeds * branch ** (rounds - 1) + branch ** rounds + seeds
 spark = get_spark("crawl-gen", cores=32)
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -68,7 +66,7 @@ anchors = F.concat(*[child_url(j) for j in range(1, branch + 1)])
 html = F.concat(F.lit("<html><body>Page body text. "), anchors,
                 F.lit('<a href="/private/'), i.cast("string"),
                 F.lit('">no</a></body></html>'))
-(spark.range(total + seeds * branch ** rounds, numPartitions=128)
+(spark.range(total, numPartitions=128)
  .select(url.alias("url"), html.cast("binary").alias("html"))
  .write.mode("overwrite").parquet(base + "/web"))
 

@@ -77,3 +77,56 @@ def test_canonical_absent_is_empty(spark):
         [Row(h='<link rel="stylesheet" href="/s.css">')])
     assert df.select(
         canonical_of(F.col("h")).alias("c")).head()["c"] == ""
+
+
+def test_charset_of_both_forms_and_absent(spark):
+    from pyspark.sql import Row, functions as F
+
+    from quickner_spark.kg.pagemeta import charset_of
+
+    cases = [
+        ('<html><head><META CHARSET="ISO-8859-1"></head></html>',
+         "iso-8859-1"),
+        ("<html><head><meta charset=utf-8></head></html>", "utf-8"),
+        ('<html><head><meta http-equiv="Content-Type" '
+         'content="text/html; charset=Windows-1252"></head></html>',
+         "windows-1252"),
+        ("<html><head></head></html>", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["c"] for r in
+           df.select(charset_of(F.col("html")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_decode_pages_charset_dispatch(spark):
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.pagemeta import decode_pages
+
+    latin = ('<html><head><meta charset="iso-8859-1"></head>'
+             '<body>caf\xe9</body></html>').encode("iso-8859-1")
+    utf8 = "<html><body>café utf</body></html>".encode()
+    junk = ('<html><head><meta charset="no-such-codec"></head>'
+            '<body>x café</body></html>').encode()
+    bad = b"<html><body>caf\xff\xfe broken</body></html>"
+    df = spark.createDataFrame(
+        [Row(url="l", html=bytearray(latin)),
+         Row(url="u", html=bytearray(utf8)),
+         Row(url="j", html=bytearray(junk)),
+         Row(url="b", html=bytearray(bad)),
+         Row(url="n", html=None)])
+    got = {r["url"]: r["text_html"]
+           for r in decode_pages(df).collect()}
+    assert "café" in got["l"]          # declared latin-1 honored
+    assert "café utf" in got["u"]      # utf-8 default
+    assert "x café" in got["j"]        # unknown codec -> default
+    assert "�" in got["b"]        # invalid bytes replaced, no raise
+    assert got["n"] is None
+    # decoded string feeds the column scans directly
+    from pyspark.sql import functions as F
+
+    from quickner_spark.kg.pagemeta import charset_of
+    one = decode_pages(df.where(F.col("url") == "l"))
+    assert one.select(charset_of(F.col("text_html")).alias("c")) \
+        .head()["c"] == "iso-8859-1"
