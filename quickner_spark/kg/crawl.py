@@ -94,14 +94,21 @@ def crawl(seeds: DataFrame,
     runs produce identical page sets (test-pinned). The per-round
     count() actions double as the lineage barrier points."""
     spark = seeds.sparkSession
-    seen = (seeds.select(normalize_url(F.col(url_col)).alias("url_norm"))
-            .distinct().localCheckpoint())
+    # seen is kept as a UNION of per-round checkpointed deltas: each
+    # round materializes only its OWN increment (one localCheckpoint of
+    # the fresh rows serves both the seen delta and the next frontier),
+    # never rewriting the accumulated table — at crawl-db scale the
+    # seen side is the dominant state and rewriting it per round is
+    # O(rounds · |seen|) wasted I/O.
+    seen_parts = [seeds.select(normalize_url(F.col(url_col))
+                               .alias("url_norm"))
+                  .distinct().localCheckpoint()]
     frontier = seeds.select(F.col(url_col).alias("url")).distinct()
+    n = frontier.count()
     all_pages: DataFrame | None = None
     sizes: list[int] = []
     fetched: list[int] = []
     for rnd in range(rounds):
-        n = frontier.count()
         sizes.append(n)
         if n == 0:
             break
@@ -112,18 +119,31 @@ def crawl(seeds: DataFrame,
         pages = pages.localCheckpoint()
         fetched.append(pages.count())
         all_pages = pages if all_pages is None else all_pages.union(pages)
+        if rnd == rounds - 1:
+            # the final round's discoveries can never be fetched —
+            # skip the link scan + anti-join entirely (on a BFS whose
+            # last level dominates, that pass is a large fraction of
+            # total work). seen keeps its ENQUEUED-keys contract: these
+            # urls were never enqueued.
+            break
+        seen = seen_parts[0]
+        for part in seen_parts[1:]:
+            seen = seen.union(part)
         # min() picks the representative raw url per canonical key —
         # dropDuplicates would keep a partition-order-dependent one
         cand = (discovered_urls(pages)
                 .select(F.col("url"),
                         normalize_url(F.col("url")).alias("url_norm"))
                 .groupBy("url_norm").agg(F.min("url").alias("url")))
-        fresh = cand.join(seen, "url_norm", "left_anti")
-        seen = (seen.union(fresh.select("url_norm"))
-                .localCheckpoint())
-        frontier = fresh.select("url").localCheckpoint()
+        fresh = cand.join(seen, "url_norm", "left_anti").localCheckpoint()
+        n = fresh.count()
+        seen_parts.append(fresh.select("url_norm"))
+        frontier = fresh.select("url")
     if all_pages is None:
         all_pages = spark.createDataFrame([], "url string, html binary, "
                                           "crawl_round int")
+    seen = seen_parts[0]
+    for part in seen_parts[1:]:
+        seen = seen.union(part)
     return CrawlResult(pages=all_pages, seen=seen,
                        frontier_sizes=sizes, fetched_counts=fetched)

@@ -94,7 +94,11 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(cores, 4)}g")
 spark = get_spark(f"crawl-{cores}", cores=cores,
                   shuffle_partitions=cores * 2)
 spark.sparkContext.setLogLevel("ERROR")
-web = spark.read.parquet(base + "/web").repartition(cores * 4).cache()
+# hash-partitioned on the join key: the per-round fetch join then only
+# shuffles the frontier side (the crawl-db layout — the store is
+# bucketed by url, matching kg/crawl.py's scale guidance)
+web = spark.read.parquet(base + "/web") \
+    .repartition(cores * 4, "url").cache()
 web.count()
 robots = spark.read.parquet(base + "/robots")
 rules = robots_rules(robots).cache(); rules.count()
