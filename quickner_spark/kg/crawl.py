@@ -106,6 +106,7 @@ def crawl(seeds: DataFrame,
     frontier = seeds.select(F.col(url_col).alias("url")).distinct()
     n = frontier.count()
     all_pages: DataFrame | None = None
+    page_parts: list[DataFrame] = []
     sizes: list[int] = []
     fetched: list[int] = []
     for rnd in range(rounds):
@@ -116,8 +117,15 @@ def crawl(seeds: DataFrame,
                              priority_col=priority_col,
                              budget_per_host=budget_per_host)
         pages = fetcher(plan).withColumn("crawl_round", F.lit(rnd))
-        pages = pages.localCheckpoint()
+        # COLUMNAR cache, not localCheckpoint: the checkpoint RDD stores
+        # row objects and rescans ~10x slower than the vectorized
+        # in-memory cache (measured on the 6.4M-page bench), and pages
+        # needs no lineage cut — its inputs are this round's checkpointed
+        # frontier (one join away). The caches are tracked on the result;
+        # call ``caching.release(result.pages)`` when done.
+        pages = pages.cache()
         fetched.append(pages.count())
+        page_parts.append(pages)
         all_pages = pages if all_pages is None else all_pages.union(pages)
         if rnd == rounds - 1:
             # the final round's discoveries can never be fetched —
@@ -145,5 +153,7 @@ def crawl(seeds: DataFrame,
     seen = seen_parts[0]
     for part in seen_parts[1:]:
         seen = seen.union(part)
-    return CrawlResult(pages=all_pages, seen=seen,
+    from quickner_spark.operators.caching import track
+
+    return CrawlResult(pages=track(all_pages, *page_parts), seen=seen,
                        frontier_sizes=sizes, fetched_counts=fetched)

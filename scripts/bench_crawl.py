@@ -90,7 +90,8 @@ from quickner_spark.kg.robots import crawl_delays, robots_rules
 
 cores, seeds, rounds, base = (int(sys.argv[1]), int(sys.argv[2]),
                               int(sys.argv[3]), sys.argv[4])
-os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(cores, 4)}g")
+# fleet model: N executors x 4g — heap proportional to core count
+os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{cores * 4}g")
 spark = get_spark(f"crawl-{cores}", cores=cores,
                   shuffle_partitions=cores * 2)
 spark.sparkContext.setLogLevel("ERROR")
