@@ -1092,6 +1092,41 @@ def q60_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", charset_of(F.col("html")).alias("charset"))
 
 
+def q61_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the materialized KG
+    (operators/graph.py::triangle_count — degree-ordered edge
+    orientation, the O(m^1.5) distributed-scale algorithm; a naive
+    wedge join is sum(deg^2) and dies on the first celebrity node).
+    The oracle restates the identical orientation — (degree, id) total
+    order, wedge b<c dedup, closing join — so the integer counts are
+    value-exact cross-engine."""
+    from quickner_spark.operators.graph import triangle_count
+
+    return triangle_count(q28_kg_edges(spark, sf_dir))
+
+
+def q62_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-host discovery by co-citation (operators/graph.py::
+    cocitation — Dean & Henzinger's measure): destination hosts linked
+    by many of the same PAGES are similar. Edges are page-url -> linked
+    host over the q45 synthetic anchor pages; output is (a, b, shared,
+    in_a, in_b) as exact integers — Jaccard = shared/(in_a+in_b-shared)
+    derives at the consumer, keeping the oracle float-free. min_shared
+    bounds the output; the max_fanout directory-page guard is the
+    pytest-covered scale path (it cannot bind on this corpus, where
+    every page links exactly 3 hosts)."""
+    from quickner_spark.kg.weblinks import (extract_links, host_of,
+                                            resolve_href)
+    from quickner_spark.operators.graph import cocitation
+
+    e = (extract_links(_synth_link_pages(spark, sf_dir))
+         .select(F.col("url").alias("src"),
+                 host_of(resolve_href(F.col("url"), F.col("href")))
+                 .alias("dst"))
+         .where(F.col("dst") != ""))
+    return cocitation(e, min_shared=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1210,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_robots_sitemaps": q58_robots_sitemaps,
         "q59_wat_export": q59_wat_export,
         "q60_charset": q60_charset,
+        "q61_triangles": q61_triangles,
+        "q62_cocitation": q62_cocitation,
     }
 
 
@@ -2021,6 +2058,81 @@ SELECT p0.a, p0.b, p1.c, p2.d
 FROM (SELECT src AS a, dst AS b FROM e WHERE pred = 'join') p0
 JOIN (SELECT src AS b, dst AS c FROM e WHERE pred = 'join') p1 USING (b)
 JOIN (SELECT src AS c, dst AS d FROM e WHERE pred = 'scan') p2 USING (c)
+""",
+        # q61: degree-ordered triangle counting over the q28 KG edges —
+        # the SAME orientation the engine runs: undirected simple fold,
+        # (degree, node id) total order, wedges from oriented
+        # out-neighborhoods with the b<c dedup, closed against the
+        # oriented edge set, 3 corners per triangle, zero-count nodes
+        # kept via the degree table.
+        "q61_triangles": f"""
+WITH {edges_chain},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY 1
+),
+ori AS (
+  SELECT CASE WHEN lo THEN a ELSE b END AS u,
+         CASE WHEN lo THEN b ELSE a END AS v,
+         CASE WHEN lo THEN db ELSE da END AS dv
+  FROM (
+    SELECT und.a, und.b, x.d AS da, y.d AS db,
+           (x.d < y.d OR (x.d = y.d AND und.a < und.b)) AS lo
+    FROM und
+    JOIN deg x ON x.node = und.a
+    JOIN deg y ON y.node = und.b
+  )
+),
+tri AS (
+  SELECT w1.apex, w1.b, w2.c
+  FROM (SELECT u AS apex, v AS b, dv AS rb FROM ori) w1
+  JOIN (SELECT u AS apex, v AS c, dv AS rc FROM ori) w2
+    ON w1.apex = w2.apex
+  JOIN ori z ON z.u = w1.b AND z.v = w2.c
+  WHERE w1.rb < w2.rc OR (w1.rb = w2.rc AND w1.b < w2.c)
+),
+corners AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT apex AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, coalesce(corners.triangles, 0) AS triangles
+FROM deg LEFT JOIN corners ON corners.node = deg.node
+""",
+        # q62: page-level co-citation over the q45 anchor pages — the
+        # same href scan/resolution/host chain, then distinct
+        # (page, host) edges self-joined on the page with a<b, pair
+        # counts >= 2, and distinct in-degrees joined alongside. All
+        # integers; Jaccard derives at the consumer.
+        "q62_cocitation": f"""
+WITH {_host_graph_ctes()},
+pe AS (
+  SELECT DISTINCT url AS s, dst_host2 AS t FROM (
+    SELECT url,
+           lower(regexp_extract(abs_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS dst_host2
+    FROM resolved
+  ) WHERE dst_host2 <> '' AND s <> dst_host2
+),
+prs AS (
+  SELECT l1.t AS a, l2.t AS b, count(*) AS shared
+  FROM pe l1 JOIN pe l2 ON l1.s = l2.s
+  WHERE l1.t < l2.t
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ind AS (SELECT t, count(*) AS ind FROM pe GROUP BY 1)
+SELECT prs.a, prs.b, prs.shared, ia.ind AS in_a, ib.ind AS in_b
+FROM prs
+JOIN ind ia ON ia.t = prs.a
+JOIN ind ib ON ib.t = prs.b
 """,
         # q45: the hyperlink host graph — anchor regexp scan, fragment
         # strip, the same 4-branch resolution CASE (order matters: '//'

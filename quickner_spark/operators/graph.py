@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
 __all__ = ["connected_components", "k_hop", "degree_stats", "pagerank",
-           "hits", "match_patterns"]
+           "hits", "match_patterns", "triangle_count", "cocitation"]
 
 
 def match_patterns(triples: DataFrame, patterns,
@@ -403,3 +403,128 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 break
         comp = new_comp
     return comp
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by the edge list (direction, weight, multiplicity and self-loops are
+    dropped). Returns (node, triangles) covering EVERY node of the
+    graph, zeros included — the clustering-coefficient numerator and the
+    standard webgraph cohesion statistic.
+
+    Algorithm: degree-ordered edge orientation (the distributed-scale
+    standard, Cohen's MapReduce scheme / Ortmann-Brandes). Every
+    undirected edge is directed from its lower endpoint to its higher
+    endpoint under the total order (degree, node id); wedges are built
+    ONLY from each node's oriented out-neighborhood and closed against
+    the oriented edge set:
+
+        wedge (a->b, a->c) with b <_ord c   +   edge (b->c)  => triangle
+
+    Why this shape at 10^12-edge scale: a naive wedge join fans out as
+    sum(deg^2) — one celebrity host (10^7 in-links) alone yields 10^14
+    wedges. Degree orientation bounds every out-degree by O(sqrt(m)),
+    so the wedge join is sum(out_deg^2) = O(m^1.5) TOTAL, and the hot
+    node's wedges are generated by its many LOW-degree neighbors instead
+    of by itself — the skew is dissolved structurally, not salted
+    around. Each triangle is produced exactly once (its minimal vertex
+    under the order is the apex), then exploded to its 3 corners for the
+    per-node count. Plan: distinct + wedge self-equi-join on the apex +
+    closing equi-join + one map-side-combined count; the degree lookup
+    is node-sized and broadcast.
+
+    Determinism: outputs are integer counts; order ties break on node
+    id, so the orientation — hence the intermediate sizes, not just the
+    result — reproduces across engines. The q61 oracle restates the
+    same orientation in SQL."""
+    und = (edges.where(F.col(src) != F.col(dst))
+           .select(F.least(src, dst).alias("a"),
+                   F.greatest(src, dst).alias("b"))
+           .distinct()
+           .localCheckpoint())  # reused 3x: degrees, wedges, closing
+    deg = (und.select(F.col("a").alias("node"))
+           .union(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    lo = (F.col("da") < F.col("db")) | \
+         ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = (und
+         .join(F.broadcast(deg.select(F.col("node").alias("a"),
+                                      F.col("d").alias("da"))), "a")
+         .join(F.broadcast(deg.select(F.col("node").alias("b"),
+                                      F.col("d").alias("db"))), "b")
+         .select(F.when(lo, F.col("a")).otherwise(F.col("b")).alias("u"),
+                 F.when(lo, F.col("b")).otherwise(F.col("a")).alias("v"),
+                 # carry the head's (deg, id) rank so the wedge's
+                 # b <_ord c test needs no third degree lookup
+                 F.when(lo, F.col("db")).otherwise(F.col("da"))
+                 .alias("dv"))
+         .localCheckpoint())  # reused: two wedge legs + closing side
+    w1 = o.select(F.col("u").alias("apex"), F.col("v").alias("b"),
+                  F.col("dv").alias("rb"))
+    w2 = o.select(F.col("u").alias("apex"), F.col("v").alias("c"),
+                  F.col("dv").alias("rc"))
+    wedges = (w1.join(w2, "apex")
+              .where((F.col("rb") < F.col("rc"))
+                     | ((F.col("rb") == F.col("rc"))
+                        & (F.col("b") < F.col("c")))))
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
+    corners = (tri.select(F.explode(F.array("apex", "b", "c"))
+                          .alias("node"))
+               .groupBy("node").agg(F.count("*").alias("triangles")))
+    return (deg.select("node").join(corners, "node", "left")
+            .select("node", F.coalesce("triangles", F.lit(0))
+                    .alias("triangles")))
+
+
+def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
+               min_shared: int = 2,
+               max_fanout: int | None = None) -> DataFrame:
+    """Co-citation similarity over the directed edge list (Dean &
+    Henzinger's related-pages measure, host-level): two destinations are
+    similar when many distinct sources link to BOTH. Returns
+    (a, b, shared, in_a, in_b) with a < b, shared = |in(a) ∩ in(b)| ≥
+    ``min_shared``, and the distinct in-degrees alongside so callers
+    derive Jaccard = shared / (in_a + in_b − shared) without a second
+    pass — emitted as exact integers (the cross-engine-stable form; one
+    float division at the consumer is cheap, a hash-exact oracle over
+    floats is not).
+
+    Plan: one distinct projection, one self-equi-join on the SOURCE key
+    (pairs of co-cited destinations), map-side-combined pair count, then
+    a node-sized broadcast join for the in-degrees. The self-join is
+    quadratic per source: a directory page linking k hosts emits
+    k·(k−1)/2 pairs, so a 10^5-outlink hub alone is 5·10^9 rows.
+    ``max_fanout`` is the guard (same role as lsh_dup_pairs'
+    ``max_bucket``): sources whose DISTINCT destination count exceeds it
+    are dropped from pairing entirely — the standard cap, and honest
+    semantics for co-citation, where a link from an everything-directory
+    carries no signal. Default None (exact; the q62 oracle restates the
+    capped form so both paths are driver-verified)."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .where(F.col("s") != F.col("t"))
+         .distinct()
+         .localCheckpoint())  # reused: fanout filter, both legs, degrees
+    if max_fanout is not None:
+        keep = (e.groupBy("s").agg(F.count("*").alias("__k"))
+                .where(F.col("__k") <= max_fanout)
+                .select("s"))
+        paired = e.join(keep, "s")
+    else:
+        paired = e
+    l1 = paired.select("s", F.col("t").alias("a"))
+    l2 = paired.select("s", F.col("t").alias("b"))
+    pairs = (l1.join(l2, "s")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("shared"))
+             .where(F.col("shared") >= min_shared))
+    # in-degrees over the UNCAPPED edge set: the cap bounds the pairing
+    # fan-out, not the definition of a node's citation count
+    ind = e.groupBy("t").agg(F.count("*").alias("ind"))
+    return (pairs
+            .join(F.broadcast(ind.select(F.col("t").alias("a"),
+                                         F.col("ind").alias("in_a"))), "a")
+            .join(F.broadcast(ind.select(F.col("t").alias("b"),
+                                         F.col("ind").alias("in_b"))), "b")
+            .select("a", "b", "shared", "in_a", "in_b"))

@@ -368,3 +368,107 @@ def test_match_patterns_validation(spark):
         match_patterns(t, [("?a", "acq")])
     with pytest.raises(ValueError):
         match_patterns(t, [("?", "acq", "?b")])
+
+
+# ---------------------------------------------------------------- triangles
+
+def _tri(spark, edges):
+    from quickner_spark.operators.graph import triangle_count
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+
+
+def test_triangle_count_basic_with_zeros(spark):
+    # one triangle a-b-c, plus a pendant d off c: d participates in none
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangle_count_ignores_direction_multiplicity_self_loops(spark):
+    # both directions + duplicates + a self loop must not inflate counts
+    got = _tri(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+                       ("a", "c"), ("a", "a")])
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_k4(spark):
+    # K4: 4 triangles total, every vertex in exactly 3
+    nodes = "abcd"
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    got = _tri(spark, edges)
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_count_differential_vs_python(spark):
+    # random graph vs a brute-force O(n^3) reference
+    import itertools
+    import random
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(18)]
+    und = {tuple(sorted((a, b)))
+           for a in nodes for b in nodes
+           if a != b and rng.random() < 0.25}
+    expected = {n: 0 for n in {x for e in und for x in e}}
+    for a, b, c in itertools.combinations(sorted(expected), 3):
+        if ((a, b) in und and (b, c) in und
+                and tuple(sorted((a, c))) in und):
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    # feed the operator a messy directed form of the same graph
+    edges = []
+    for a, b in und:
+        edges.append((b, a) if rng.random() < 0.5 else (a, b))
+        if rng.random() < 0.3:
+            edges.append((a, b))  # duplicate / reverse multiplicity
+    assert _tri(spark, edges) == expected
+
+
+def test_triangle_count_celebrity_star_is_wedge_free(spark):
+    # a pure star (hub with 30 leaves) has zero triangles; under degree
+    # orientation the HUB emits no wedges (every edge points leaf->hub),
+    # so the wedge join stays linear — the scale rationale in the
+    # docstring, checked here for correctness of the zero result
+    edges = [("hub", f"leaf{i}") for i in range(30)]
+    got = _tri(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+# --------------------------------------------------------------- cocitation
+
+def _cocite(spark, edges, **kw):
+    from quickner_spark.operators.graph import cocitation
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {(r["a"], r["b"]): (r["shared"], r["in_a"], r["in_b"])
+            for r in cocitation(df, **kw).collect()}
+
+
+def test_cocitation_basic(spark):
+    # pages p1,p2 both cite x and y; p3 cites y and z (z shared once only)
+    edges = [("p1", "x"), ("p1", "y"), ("p2", "x"), ("p2", "y"),
+             ("p3", "y"), ("p3", "z")]
+    got = _cocite(spark, edges)
+    assert got == {("x", "y"): (2, 2, 3)}
+    # lowering min_shared exposes the weaker pairs, degrees unchanged
+    got1 = _cocite(spark, edges, min_shared=1)
+    assert got1 == {("x", "y"): (2, 2, 3), ("y", "z"): (1, 3, 1)}
+
+
+def test_cocitation_dedups_and_drops_self_edges(spark):
+    # duplicate (p1,x) rows and a self citation must not inflate counts
+    edges = [("p1", "x"), ("p1", "x"), ("p1", "y"), ("p2", "x"),
+             ("p2", "y"), ("x", "x")]
+    got = _cocite(spark, edges)
+    assert got == {("x", "y"): (2, 2, 2)}
+
+
+def test_cocitation_max_fanout_guards_pairing_not_degrees(spark):
+    # 'dir' is a directory page linking 5 hosts: with max_fanout=4 it is
+    # excluded from PAIRING, but in-degrees still count its citations
+    edges = [("p1", "x"), ("p1", "y"), ("p2", "x"), ("p2", "y")]
+    edges += [("dir", t) for t in ("x", "y", "u", "v", "w")]
+    uncapped = _cocite(spark, edges, min_shared=2)
+    assert uncapped[("x", "y")] == (3, 3, 3)
+    capped = _cocite(spark, edges, min_shared=2, max_fanout=4)
+    # dir's contribution to the (x,y) pair is gone; degrees keep it
+    assert capped == {("x", "y"): (2, 3, 3)}

@@ -345,3 +345,30 @@ def test_plan_frontier_windows_keyed_and_delays_join(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "host" in line, line
+
+
+def test_triangle_count_no_cartesian_and_broadcast_degrees(spark):
+    """triangle_count: wedge build and closing are equi-joins (a
+    cartesian/nested-loop anywhere means the orientation join broke)
+    and the node-sized degree lookups reach the oriented edges via
+    broadcast, never a shuffled join against the edge set."""
+    from quickner_spark.operators.graph import triangle_count
+
+    edges = E.q28_kg_edges(spark, SF).select("src", "dst")
+    plan = _executed(triangle_count(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cocitation_source_keyed_join_partial_counts(spark):
+    """cocitation: the pair expansion equi-joins on the source key and
+    the pair count runs a map-side partial aggregate before its
+    exchange; in-degree joins broadcast the node-sized side."""
+    from quickner_spark.operators.graph import cocitation
+
+    edges = E.q28_kg_edges(spark, SF).select("src", "dst")
+    plan = _executed(cocitation(edges, min_shared=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
