@@ -1127,6 +1127,19 @@ def q62_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation(e, min_shared=2)
 
 
+def q63_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the materialized
+    KG (operators/graph.py::label_propagation, 2 iterations). The
+    deterministic variant — simultaneous updates, (count DESC, label
+    ASC) argmax — is a pure function of (graph, iters), so the oracle
+    unrolls the two voting rounds as plain CTEs and the labeling is
+    value-exact cross-engine (the same portability property as integer
+    pagerank q42 / HITS q51)."""
+    from quickner_spark.operators.graph import label_propagation
+
+    return label_propagation(q28_kg_edges(spark, sf_dir), iters=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1247,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_charset": q60_charset,
         "q61_triangles": q61_triangles,
         "q62_cocitation": q62_cocitation,
+        "q63_communities": q63_communities,
     }
 
 
@@ -2133,6 +2147,41 @@ SELECT prs.a, prs.b, prs.shared, ia.ind AS in_a, ib.ind AS in_b
 FROM prs
 JOIN ind ia ON ia.t = prs.a
 JOIN ind ib ON ib.t = prs.b
+""",
+        # q63: synchronous label propagation, 2 voting rounds unrolled —
+        # undirected simple fold, labels start as the node's own id,
+        # every round each node adopts the (count DESC, label ASC)
+        # argmax over its neighbors' PREVIOUS-round labels.
+        "q63_communities": f"""
+WITH {edges_chain},
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e WHERE src <> dst
+  )
+),
+l0 AS (SELECT DISTINCT a AS node, a AS community FROM und),
+v1 AS (
+  SELECT und.a AS node, l0.community, count(*) AS c
+  FROM und JOIN l0 ON l0.node = und.b GROUP BY 1, 2
+),
+l1 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, community) AS rn
+    FROM v1) WHERE rn = 1
+),
+v2 AS (
+  SELECT und.a AS node, l1.community, count(*) AS c
+  FROM und JOIN l1 ON l1.node = und.b GROUP BY 1, 2
+)
+SELECT node, community FROM (
+  SELECT node, community,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY c DESC, community) AS rn
+  FROM v2) WHERE rn = 1
 """,
         # q45: the hyperlink host graph — anchor regexp scan, fragment
         # strip, the same 4-branch resolution CASE (order matters: '//'

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
 __all__ = ["connected_components", "k_hop", "degree_stats", "pagerank",
-           "hits", "match_patterns", "triangle_count", "cocitation"]
+           "hits", "match_patterns", "triangle_count", "cocitation",
+           "label_propagation"]
 
 
 def match_patterns(triples: DataFrame, patterns,
@@ -528,3 +529,57 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
             .join(F.broadcast(ind.select(F.col("t").alias("b"),
                                          F.col("ind").alias("in_b"))), "b")
             .select("a", "b", "shared", "in_a", "in_b"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3, src: str = "src",
+                      dst: str = "dst", checkpoint: bool = True) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan-
+    Albert-Kumara) over the undirected simple fold of the edge list;
+    returns (node, community). Communities start as each node's own id;
+    per iteration EVERY node simultaneously adopts the label held by
+    the most neighbors in the PREVIOUS round, ties broken by the
+    smallest label.
+
+    Why synchronous + total-order tie-break: classical async LPA visits
+    nodes in random order and is irreproducible by design. The
+    synchronous variant with a (count DESC, label ASC) argmax is a pure
+    function of (graph, iters) — deterministic across engines AND
+    across partitionings, which is what lets q63 restate the unrolled
+    iterations relationally (the same portability property as integer
+    ``pagerank``/``hits``). Known synchronous-LPA caveat, inherited
+    deliberately: bipartite-ish regions can oscillate rather than
+    converge, so ``iters`` is a fixed budget, not a convergence test.
+
+    Plan per iteration: one edge-sized equi-join (neighbor labels) +
+    two map-side-combined aggregates (vote counts, then a min-of-struct
+    argmax — (-count, label) lexicographic, so the argmax is itself
+    combinable and NO per-node window runs over the vote table).
+    Lineage cut per round (``checkpoint=False`` keeps the full lineage —
+    for plan inspection and tiny fixed-iter runs). A hot node's votes
+    collapse map-side, same as the salted-agg rationale elsewhere: the
+    skew lands on the bounded (node, label) pair space, not on raw
+    edges."""
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint else df
+
+    e = edges.where(F.col(src) != F.col(dst)) \
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = _cut(e.union(e.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+               .distinct())  # reused every iteration
+    nodes = _cut(und.select(F.col("a").alias("node")).distinct())
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iters):
+        nbr = labels.select(F.col("node").alias("b"), "community")
+        votes = (und.join(nbr, "b")
+                 .groupBy(F.col("a").alias("node"), "community")
+                 .agg(F.count("*").alias("c")))
+        # argmax by (count DESC, label ASC) as a combinable min-of-struct
+        labels = (votes
+                  .groupBy("node")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("community").alias("l")))
+                       .alias("w"))
+                  .select("node", F.col("w.l").alias("community")))
+        labels = _cut(labels)
+    return labels

@@ -472,3 +472,66 @@ def test_cocitation_max_fanout_guards_pairing_not_degrees(spark):
     capped = _cocite(spark, edges, min_shared=2, max_fanout=4)
     # dir's contribution to the (x,y) pair is gone; degrees keep it
     assert capped == {("x", "y"): (2, 3, 3)}
+
+
+# ------------------------------------------------------- label propagation
+
+def _lpa_ref(edges, iters):
+    # pure-Python synchronous LPA with the same (count desc, label asc)
+    # argmax — the operator's contract, restated independently
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def _lpa(spark, edges, iters):
+    from quickner_spark.operators.graph import label_propagation
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["community"]
+            for r in label_propagation(df, iters=iters).collect()}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = k4a + k4b + [("a0", "b0")]
+    got = _lpa(spark, edges, iters=3)
+    assert got == _lpa_ref(edges, 3)
+    # the two cliques end in two distinct communities
+    assert len({got[f"a{i}"] for i in range(4)}) == 1
+    assert len({got[f"b{i}"] for i in range(4)}) == 1
+    assert got["a0"] != got["b0"]
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # node m has one neighbor of each label: the argmax must pick the
+    # lexicographically smallest
+    got = _lpa(spark, [("m", "x"), ("m", "y"), ("m", "z")], iters=1)
+    assert got["m"] == "x"
+
+
+def test_lpa_ignores_direction_multiplicity_self_loops(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "c")]
+    assert _lpa(spark, edges, 2) == _lpa_ref([("a", "b"), ("b", "c")], 2)
+
+
+def test_lpa_differential_vs_python(spark):
+    import random
+    rng = random.Random(29)
+    edges = list({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+                  for _ in range(70)})
+    for iters in (1, 2, 3):
+        assert _lpa(spark, edges, iters) == _lpa_ref(edges, iters), iters

@@ -372,3 +372,17 @@ def test_cocitation_source_keyed_join_partial_counts(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_label_propagation_combinable_argmax_no_window(spark):
+    """label_propagation: the per-node argmax is a combinable
+    min-of-struct aggregate (partial_min before its exchange), NOT a
+    window over the vote table — and no cartesian/nested-loop joins."""
+    from quickner_spark.operators.graph import label_propagation
+
+    edges = E.q28_kg_edges(spark, SF).select("src", "dst")
+    plan = _executed(label_propagation(edges, iters=1, checkpoint=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
