@@ -439,14 +439,20 @@ def triangle_count(edges: DataFrame, src: str = "src",
     id, so the orientation — hence the intermediate sizes, not just the
     result — reproduces across engines. The q61 oracle restates the
     same orientation in SQL."""
+    from quickner_spark.operators.caching import track
+
     und = (edges.where(F.col(src) != F.col(dst))
            .select(F.least(src, dst).alias("a"),
                    F.greatest(src, dst).alias("b"))
            .distinct()
-           .localCheckpoint())  # reused 3x: degrees, wedges, closing
+           .cache())  # reused 3x: degrees, wedges, closing — columnar
+    # cache, NOT localCheckpoint: the scoped-cache contract (caching.py)
+    # lets callers release, and the crawl-loop A/B (BENCH_SCALING.md)
+    # measured columnar rescans ~10x faster than checkpoint row rescans
     deg = (und.select(F.col("a").alias("node"))
            .union(und.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d")))
+           .groupBy("node").agg(F.count("*").alias("d"))
+           .cache())  # node-sized; read by two broadcasts + the outer join
     lo = (F.col("da") < F.col("db")) | \
          ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     o = (und
@@ -460,7 +466,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
                  # b <_ord c test needs no third degree lookup
                  F.when(lo, F.col("db")).otherwise(F.col("da"))
                  .alias("dv"))
-         .localCheckpoint())  # reused: two wedge legs + closing side
+         .cache())  # reused: two wedge legs + closing side
     w1 = o.select(F.col("u").alias("apex"), F.col("v").alias("b"),
                   F.col("dv").alias("rb"))
     w2 = o.select(F.col("u").alias("apex"), F.col("v").alias("c"),
@@ -474,9 +480,10 @@ def triangle_count(edges: DataFrame, src: str = "src",
     corners = (tri.select(F.explode(F.array("apex", "b", "c"))
                           .alias("node"))
                .groupBy("node").agg(F.count("*").alias("triangles")))
-    return (deg.select("node").join(corners, "node", "left")
-            .select("node", F.coalesce("triangles", F.lit(0))
-                    .alias("triangles")))
+    out = (deg.select("node").join(corners, "node", "left")
+           .select("node", F.coalesce("triangles", F.lit(0))
+                   .alias("triangles")))
+    return track(out, und, deg, o)
 
 
 def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -503,10 +510,12 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
     semantics for co-citation, where a link from an everything-directory
     carries no signal. Default None (exact; the q62 oracle restates the
     capped form so both paths are driver-verified)."""
+    from quickner_spark.operators.caching import track
+
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col("s") != F.col("t"))
          .distinct()
-         .localCheckpoint())  # reused: fanout filter, both legs, degrees
+         .cache())  # reused: fanout filter, both legs, degrees
     if max_fanout is not None:
         keep = (e.groupBy("s").agg(F.count("*").alias("__k"))
                 .where(F.col("__k") <= max_fanout)
@@ -523,12 +532,13 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
     # in-degrees over the UNCAPPED edge set: the cap bounds the pairing
     # fan-out, not the definition of a node's citation count
     ind = e.groupBy("t").agg(F.count("*").alias("ind"))
-    return (pairs
-            .join(F.broadcast(ind.select(F.col("t").alias("a"),
-                                         F.col("ind").alias("in_a"))), "a")
-            .join(F.broadcast(ind.select(F.col("t").alias("b"),
-                                         F.col("ind").alias("in_b"))), "b")
-            .select("a", "b", "shared", "in_a", "in_b"))
+    out = (pairs
+           .join(F.broadcast(ind.select(F.col("t").alias("a"),
+                                        F.col("ind").alias("in_a"))), "a")
+           .join(F.broadcast(ind.select(F.col("t").alias("b"),
+                                        F.col("ind").alias("in_b"))), "b")
+           .select("a", "b", "shared", "in_a", "in_b"))
+    return track(out, e)
 
 
 def label_propagation(edges: DataFrame, iters: int = 3, src: str = "src",

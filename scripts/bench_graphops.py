@@ -62,6 +62,7 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 from quickner_spark.session import get_spark
+from quickner_spark.operators.caching import release
 from quickner_spark.operators.graph import cocitation, triangle_count
 
 cores, passes, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -72,12 +73,23 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet(path).repartition(cores * 4).cache()
 n_edges = edges.count()  # materialize cache outside the timed region
 
+def run_released(df, action):
+    # release the operator's tracked caches after every pass: CacheManager
+    # keys by logical plan, so without this pass 2 would silently reuse
+    # pass 1's materialized cache and the bench would measure rescans
+    try:
+        return action(df)
+    finally:
+        release(df)
+
 out = {"cores": cores, "n_edges": n_edges}
 for name, job in (
-        ("triangles", lambda: triangle_count(edges)
-         .agg({"triangles": "sum"}).collect()[0][0]),
-        ("cocitation", lambda: cocitation(
-            edges, min_shared=2, max_fanout=4096).count())):
+        ("triangles", lambda: run_released(
+            triangle_count(edges),
+            lambda d: d.agg({"triangles": "sum"}).collect()[0][0])),
+        ("cocitation", lambda: run_released(
+            cocitation(edges, min_shared=2, max_fanout=4096),
+            lambda d: d.count()))):
     job()  # warm-up: codegen + JIT
     times, val = [], None
     for _ in range(passes):
