@@ -1140,6 +1140,23 @@ def q63_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(q28_kg_edges(spark, sf_dir), iters=2)
 
 
+def q64_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the WEIGHTED host-level webgraph — rank mass splits
+    over a host's out-links proportionally to anchor count (q45's
+    n_links), the form webgraph rankings actually use. 2 fixed
+    iterations in integer arithmetic: contributions evaluate
+    ``((rank·85) div 100)·w div W`` with the multiply-before-divide
+    order restated verbatim in the oracle, so the int64 ranks are
+    bit-identical cross-engine (the q42 trick extended to weighted
+    mass-splitting). Production default is double + weight."""
+    from quickner_spark.kg.weblinks import extract_links, host_graph
+    from quickner_spark.operators.graph import pagerank
+
+    hg = host_graph(extract_links(_synth_link_pages(spark, sf_dir)))
+    return pagerank(hg, src="src_host", dst="dst_host", weight="n_links",
+                    iters=2, arithmetic="integer")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1261,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_triangles": q61_triangles,
         "q62_cocitation": q62_cocitation,
         "q63_communities": q63_communities,
+        "q64_weighted_pagerank": q64_weighted_pagerank,
     }
 
 
@@ -1441,6 +1459,20 @@ c{i + 1} AS (SELECT e2.dst AS node,
 r{i + 1} AS (SELECT n.node, 150000000 + coalesce(c{i + 1}.s, 0) AS "rank"
         FROM nodes n LEFT JOIN c{i + 1} ON c{i + 1}.node = n.node)""")
     pr_iters = ",".join(pr_chain)
+    # q64: 2 WEIGHTED integer-PageRank iterations over the host graph —
+    # rank mass splits proportionally to anchor count; the contribution
+    # restates the engine's exact multiply-before-divide order
+    # ((rank*85) div 100) * w div W on non-negative int64s
+    wpr_chain = []
+    for i in range(2):
+        wpr_chain.append(f"""
+wc{i + 1} AS (SELECT we.dst AS node,
+            sum(((wr{i}."rank" * 85) // 100) * we.w // wdeg.d) AS s
+        FROM we JOIN wr{i} ON wr{i}.node = we.src
+        JOIN wdeg ON wdeg.src = we.src GROUP BY 1),
+wr{i + 1} AS (SELECT n.node, 150000000 + coalesce(wc{i + 1}.s, 0) AS "rank"
+        FROM wnodes n LEFT JOIN wc{i + 1} ON wc{i + 1}.node = n.node)""")
+    wpr_iters = ",".join(wpr_chain)
     # q51: 2 integer-HITS iterations unrolled over the host graph
     # (scale 10^9; L1 normalization = `score // greatest(1, total //
     # scale)` — the same overflow-safe two-step division the engine
@@ -2182,6 +2214,24 @@ SELECT node, community FROM (
          row_number() OVER (PARTITION BY node
                             ORDER BY c DESC, community) AS rn
   FROM v2) WHERE rn = 1
+""",
+        # q64: weighted integer PageRank over the q45 host graph — the
+        # same scan/resolution/grouping chain with hg's self-loop rows
+        # filtered (host_graph's DEFAULT drops them — nav chrome says
+        # nothing about rank; the shared hg CTE is the keep_self q45
+        # form), then 2 unrolled mass-splitting iterations
+        # (multiply-before-divide order matches the engine's
+        # contribution expression verbatim).
+        "q64_weighted_pagerank": f"""
+WITH {_host_graph_ctes()},
+we AS (SELECT src_host AS src, dst_host AS dst,
+              CAST(n_links AS BIGINT) AS w FROM hg
+       WHERE src_host <> dst_host),
+wdeg AS (SELECT src, sum(w) AS d FROM we GROUP BY 1),
+wnodes AS (SELECT src AS node FROM we UNION SELECT dst AS node FROM we),
+wr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS "rank" FROM wnodes),
+{wpr_iters}
+SELECT node, "rank" AS rank FROM wr2
 """,
         # q45: the hyperlink host graph — anchor regexp scan, fragment
         # strip, the same 4-branch resolution CASE (order matters: '//'

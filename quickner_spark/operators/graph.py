@@ -179,7 +179,8 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
              dst: str = "dst", damping_pct: int = 85,
-             arithmetic: str = "double", scale: int = 10 ** 9) -> DataFrame:
+             arithmetic: str = "double", scale: int = 10 ** 9,
+             weight: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the distinct directed edge list;
     returns (node, rank). Per iteration: ONE edge-sized join (ranks are
     node-keyed, the natural shuffle key) + one map-side-combined sum —
@@ -195,23 +196,43 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
       result is BIT-IDENTICAL on any engine regardless of sum order,
       which is what makes the cross-engine oracle exact (same trick as
       the quantized-cosine scoring in simsearch). Production default is
-      double."""
+      double.
+    * ``weight``: name of an edge-weight column (e.g. the host graph's
+      anchor counts) — a node's rank mass splits over its out-edges
+      proportionally to weight instead of uniformly; duplicate
+      (src, dst) rows sum their weights first. Integer+weighted
+      contributions evaluate ``((rank·d) div 100)·w div W`` — the
+      multiply-before-divide order is part of the q64 oracle contract,
+      and the caller must keep ``max_rank · damping_pct div 100 ·
+      max_weight < 2^63`` (holds for scale=10^9 graphs with weights
+      under ~10^6; lower ``scale`` otherwise)."""
     if arithmetic not in ("double", "integer"):
         raise ValueError(f"unknown arithmetic: {arithmetic!r}")
-    e = edges.select(src, dst).distinct().localCheckpoint()
+    if weight is None:
+        e = edges.select(src, dst).distinct().localCheckpoint()
+    else:
+        e = (edges.groupBy(src, dst)
+             .agg(F.sum(F.col(weight)).cast("long").alias("__w"))
+             .localCheckpoint())
     nodes = (e.select(F.col(src).alias("node"))
              .union(e.select(F.col(dst).alias("node"))).distinct())
-    deg = e.groupBy(src).agg(F.count("*").alias("__d"))
+    wexpr = F.lit(1).cast("long") if weight is None else F.col("__w")
+    deg = e.groupBy(src).agg(F.sum(wexpr).alias("__d"))
     ej = e.join(deg, src)
     integer = arithmetic == "integer"
     if integer:
         init = F.lit(scale).cast("long")
         base = F.lit((scale * (100 - damping_pct)) // 100).cast("long")
-        contrib = F.expr(f"(__r * {damping_pct}) div (100 * __d)")
+        if weight is None:
+            contrib = F.expr(f"(__r * {damping_pct}) div (100 * __d)")
+        else:
+            contrib = F.expr(
+                f"((__r * {damping_pct}) div 100) * __w div __d")
     else:
         init = F.lit(1.0)
         base = F.lit((100 - damping_pct) / 100.0)
-        contrib = F.col("__r") * (damping_pct / 100.0) / F.col("__d")
+        contrib = (F.col("__r") * (damping_pct / 100.0)
+                   * wexpr / F.col("__d"))
     ranks = nodes.select("node", init.alias("rank")).localCheckpoint()
     for _ in range(iters):
         r = ranks.select(F.col("node").alias("__n"),

@@ -535,3 +535,34 @@ def test_lpa_differential_vs_python(spark):
                   for _ in range(70)})
     for iters in (1, 2, 3):
         assert _lpa(spark, edges, iters) == _lpa_ref(edges, iters), iters
+
+
+def test_pagerank_weighted_integer_hand_computed(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("a", "b", 1), ("a", "c", 1)],
+        "src string, dst string, w long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iters=1, arithmetic="integer",
+                             scale=100, weight="w").collect()}
+    # duplicate (a,b) rows sum to w=3; out-weight W=4; r0=100, base=15
+    # contrib: ((100*85) div 100)=85 -> b: 85*3 div 4 = 63; c: 85 div 4 = 21
+    assert got == {"a": 15, "b": 78, "c": 36}
+
+
+def test_pagerank_weighted_double_splits_proportionally(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iters=1, weight="w").collect()}
+    assert abs(got["b"] - (0.15 + 0.85 * 0.75)) < 1e-12
+    assert abs(got["c"] - (0.15 + 0.85 * 0.25)) < 1e-12
+    # uniform weights reduce to the unweighted operator exactly
+    u = spark.createDataFrame([("a", "b", 5), ("a", "c", 5)],
+                              "src string, dst string, w long")
+    w = {r["node"]: r["rank"]
+         for r in pagerank(u, iters=3, weight="w").collect()}
+    plain = {r["node"]: r["rank"]
+             for r in pagerank(u.select("src", "dst"), iters=3).collect()}
+    assert w == plain
