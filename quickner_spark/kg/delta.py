@@ -138,10 +138,21 @@ class SnapshotKg:
     def _part(self, name: str, k: int) -> str:
         return f"{self.base}/{name}/snap={k}"
 
-    def _cur(self, name: str) -> DataFrame:
+    def _cur(self, name: str, snap: int | None = None) -> DataFrame:
         k = self.snap()
         if k is None:
             raise ValueError(f"no committed snapshot under {self.base}")
+        if snap is not None:
+            if not 0 <= int(snap) <= k:
+                raise ValueError(
+                    f"snapshot {snap} outside committed range 0..{k}")
+            k = int(snap)
+            from quickner_spark.kg.pipeline import _hadoop_path
+            fs, path = _hadoop_path(self.spark, self._v(name, k))
+            if not fs.exists(path):
+                raise ValueError(
+                    f"snapshot {k} of {name!r} is gone — history folded "
+                    f"by compact(); only the current snapshot remains")
         return self.spark.read.parquet(self._v(name, k))
 
     # -- update -----------------------------------------------------------
@@ -367,40 +378,59 @@ class SnapshotKg:
          .parquet(f"{self.base}/_updates"))
 
     # -- reads ------------------------------------------------------------
-    def nodes(self) -> DataFrame:
-        return self._cur("nodes")
+    def nodes(self, snap: int | None = None) -> DataFrame:
+        return self._cur("nodes", snap)
 
-    def edges(self) -> DataFrame:
-        return self._cur("edges")
+    def edges(self, snap: int | None = None) -> DataFrame:
+        return self._cur("edges", snap)
 
-    def aliases(self) -> DataFrame:
-        return self._cur("aliases")
+    def aliases(self, snap: int | None = None) -> DataFrame:
+        return self._cur("aliases", snap)
 
-    def manifest(self) -> DataFrame:
-        return self._cur("manifest")
+    def manifest(self, snap: int | None = None) -> DataFrame:
+        return self._cur("manifest", snap)
 
     def updates(self) -> DataFrame:
         """Per-update lineage rows (snap, pages_in, changed, wall_ms)."""
         return self.spark.read.parquet(f"{self.base}/_updates")
 
-    def _current_rows(self, table: str) -> DataFrame:
+    def _current_rows(self, table: str,
+                      snap: int | None = None) -> DataFrame:
         """Current view of a per-snapshot doc-local table: rows whose
         (url, snap) the manifest points at. One doc-keyed equi-join —
         the same shuffle shape as every other doc-keyed stage join;
         after ``compact()`` the table side is a single snap partition,
-        so the view's history tax is bounded by compaction cadence."""
+        so the view's history tax is bounded by compaction cadence.
+
+        ``snap=j`` time-travels: the join runs against manifest v{j}, so
+        the view is the KG exactly as snapshot j committed it — every
+        (url, snap<=j) pointer resolves because per-snapshot partitions
+        are append-only until ``compact()``. Compaction folds the
+        partitions a historical manifest points at, so a time-travel
+        read validates the pointed-at partitions still exist and raises
+        rather than silently returning an empty/partial view."""
         rows = self.spark.read.parquet(f"{self.base}/{table}")
-        cur = self.manifest().select("url", "snap")
+        cur = self.manifest(snap).select("url", "snap")
+        if snap is not None:
+            have = {r["snap"] for r in
+                    rows.select("snap").distinct().collect()}
+            need = {r["snap"] for r in
+                    cur.select("snap").distinct().collect()}
+            if not need <= have:
+                raise ValueError(
+                    f"snapshot {snap} of {table!r} references partitions "
+                    f"{sorted(need - have)} folded by compact(); history "
+                    f"before the compaction point is gone")
         return rows.join(cur, ["url", "snap"]).drop("snap")
 
-    def current_mentions(self) -> DataFrame:
-        return self._current_rows("mentions")
+    def current_mentions(self, snap: int | None = None) -> DataFrame:
+        return self._current_rows("mentions", snap)
 
-    def current_triples(self) -> DataFrame:
-        return self._current_rows("triples")
+    def current_triples(self, snap: int | None = None) -> DataFrame:
+        return self._current_rows("triples", snap)
 
-    def current_linked(self) -> DataFrame:
-        return self._current_rows("linked")
+    def current_linked(self, snap: int | None = None) -> DataFrame:
+        return self._current_rows("linked", snap)
 
     # -- maintenance ------------------------------------------------------
     def compact(self) -> int:

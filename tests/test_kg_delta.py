@@ -144,6 +144,38 @@ def test_delta_current_mentions_equal_full_rebuild(store, rebuild):
         _row_set(rebuild.table("mentions"), cols)
 
 
+def test_asof_views_reproduce_earlier_snapshot(spark, store, snapshots,
+                                                gaz, tmp_path_factory):
+    """Time travel: snap=0 views equal a batch build over corpus A alone,
+    while default views reflect snapshot 1 — both from ONE store."""
+    kg, _, _ = store
+    p = build_kg_pipeline(spark,
+                          str(tmp_path_factory.mktemp("asof0") / "out"),
+                          snapshots["a"], gaz, corpus.PREDICATES)
+    p.run()
+    mcols = ["url", "start", "end", "label", "surface", "maximal"]
+    assert _row_set(kg.current_mentions(snap=0), mcols) == \
+        _row_set(p.table("mentions"), mcols)
+    tcols = ["url", "subj", "pred", "obj", "subj_start", "obj_start"]
+    assert _row_set(kg.current_triples(snap=0), tcols) == \
+        _row_set(p.table("triples"), tcols)
+    assert _row_set(kg.nodes(snap=0)) == _row_set(p.table("nodes"))
+    assert _row_set(kg.edges(snap=0)) == _row_set(p.table("edges"))
+    # as-of the CURRENT snapshot == the default views, and they differ
+    # from snapshot 0 (corpus B changed pages)
+    assert _row_set(kg.nodes(snap=kg.snap())) == _row_set(kg.nodes())
+    assert _row_set(kg.current_triples(snap=0), tcols) != \
+        _row_set(kg.current_triples(), tcols)
+
+
+def test_asof_rejects_out_of_range_snapshot(store):
+    kg, _, _ = store
+    with pytest.raises(ValueError, match="outside committed range"):
+        kg.nodes(snap=99)
+    with pytest.raises(ValueError, match="outside committed range"):
+        kg.current_mentions(snap=-1)
+
+
 def test_only_changed_urls_in_delta_partitions(spark, store, snapshots):
     kg, _, _ = store
     urls = {r["url"] for r in
@@ -183,6 +215,14 @@ def test_compact_preserves_views(spark, store, rebuild):
                  spark.read.parquet(f"{kg.base}/mentions")
                  .select("snap").distinct().collect()}
     assert snap_vals == {k}
+
+
+def test_asof_raises_after_compact_folds_history(store):
+    """compact() folded snaps 0..k into k: a doc-local time-travel read
+    of the pre-compaction snapshot must raise, not return empty rows."""
+    kg, _, _ = store
+    with pytest.raises(ValueError, match="folded by compact"):
+        kg.current_triples(snap=0).count()
 
 
 def test_update_after_compact(spark, store, snapshots, gaz):
