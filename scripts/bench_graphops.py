@@ -13,7 +13,9 @@ claims: work bounded by the orientation, not by the hottest node.
 Usage: python scripts/bench_graphops.py
 Env: GRAPHOPS_EDGES (default 3000000), GRAPHOPS_NODES (default 120000),
      GRAPHOPS_LO/HI (default 4/16), GRAPHOPS_PASSES (default 3),
-     GRAPHOPS_INTERLEAVES (default 2), GRAPHOPS_CORPUS (parquet cache).
+     GRAPHOPS_INTERLEAVES (default 2), GRAPHOPS_CORPUS (parquet cache),
+     GRAPHOPS_JOBS (comma list of triangles,cocitation,lpa,wpagerank —
+     default "triangles,cocitation").
 """
 
 from __future__ import annotations
@@ -62,10 +64,13 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 from quickner_spark.session import get_spark
+from pyspark.sql import functions as F
 from quickner_spark.operators.caching import release
-from quickner_spark.operators.graph import cocitation, triangle_count
+from quickner_spark.operators.graph import (cocitation, label_propagation,
+                                            pagerank, triangle_count)
 
 cores, passes, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jobs_sel = sys.argv[4].split(",")
 os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(cores, 4)}g")
 spark = get_spark(f"graphops-{cores}", cores=cores,
                   shuffle_partitions=cores * 2)
@@ -82,14 +87,29 @@ def run_released(df, action):
     finally:
         release(df)
 
+# deterministic per-edge weight for the weighted-pagerank job (the
+# corpus has no weight column; anchor-count-shaped 1..10)
+wedges = edges.withColumn(
+    "w", (F.abs(F.xxhash64("src", "dst")) % 10 + 1).cast("long"))
+
+ALL_JOBS = {
+    "triangles": lambda: run_released(
+        triangle_count(edges),
+        lambda d: d.agg({"triangles": "sum"}).collect()[0][0]),
+    "cocitation": lambda: run_released(
+        cocitation(edges, min_shared=2, max_fanout=4096),
+        lambda d: d.count()),
+    # iterative loops: fixed rounds, lineage cut per round — measures
+    # the per-iteration join+agg shape, results reduced to a checksum
+    "lpa": lambda: label_propagation(edges, iters=2)
+        .agg(F.expr("bit_xor(xxhash64(node, community))")).collect()[0][0],
+    "wpagerank": lambda: pagerank(wedges, iters=3, weight="w",
+                                  arithmetic="integer")
+        .agg(F.sum("rank")).collect()[0][0],
+}
 out = {"cores": cores, "n_edges": n_edges}
-for name, job in (
-        ("triangles", lambda: run_released(
-            triangle_count(edges),
-            lambda d: d.agg({"triangles": "sum"}).collect()[0][0])),
-        ("cocitation", lambda: run_released(
-            cocitation(edges, min_shared=2, max_fanout=4096),
-            lambda d: d.count()))):
+for name in jobs_sel:
+    job = ALL_JOBS[name]
     job()  # warm-up: codegen + JIT
     times, val = [], None
     for _ in range(passes):
@@ -126,12 +146,14 @@ def _run(code: str, *args: str, cpus: int | None = None) -> str:
 def main() -> None:
     if not os.path.exists(CORPUS + "/_SUCCESS"):
         _run(_GEN, str(N_EDGES), str(N_NODES), CORPUS)
+    jobs = os.environ.get("GRAPHOPS_JOBS", "triangles,cocitation")
     runs: dict[int, list[dict]] = {LO: [], HI: []}
     for cores in (LO, HI) * int(os.environ.get("GRAPHOPS_INTERLEAVES", "2")):
         runs[cores].append(json.loads(
-            _run(_WORKER, str(cores), str(PASSES), CORPUS, cpus=cores)))
+            _run(_WORKER, str(cores), str(PASSES), CORPUS, jobs,
+                 cpus=cores)))
     rows = []
-    for name in ("triangles", "cocitation"):
+    for name in jobs.split(","):
         lo = max(runs[LO], key=lambda r: r[name]["edges_per_sec"])[name]
         hi = max(runs[HI], key=lambda r: r[name]["edges_per_sec"])[name]
         assert lo["result"] == hi["result"], (name, lo, hi)
