@@ -180,7 +180,8 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
 def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
              dst: str = "dst", damping_pct: int = 85,
              arithmetic: str = "double", scale: int = 10 ** 9,
-             weight: str | None = None) -> DataFrame:
+             weight: str | None = None,
+             checkpoint: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over the distinct directed edge list;
     returns (node, rank). Per iteration: ONE edge-sized join (ranks are
     node-keyed, the natural shuffle key) + one map-side-combined sum —
@@ -208,12 +209,18 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
       under ~10^6; lower ``scale`` otherwise)."""
     if arithmetic not in ("double", "integer"):
         raise ValueError(f"unknown arithmetic: {arithmetic!r}")
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint else df
+
+    # NULL endpoints (unparseable hrefs in real link tables) are not
+    # nodes — drop the rows, don't rank a NULL
+    ednn = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     if weight is None:
-        e = edges.select(src, dst).distinct().localCheckpoint()
+        e = _cut(ednn.select(src, dst).distinct())
     else:
-        e = (edges.groupBy(src, dst)
-             .agg(F.sum(F.col(weight)).cast("long").alias("__w"))
-             .localCheckpoint())
+        e = _cut(ednn.groupBy(src, dst)
+                 .agg(F.sum(F.col(weight)).cast("long").alias("__w")))
     nodes = (e.select(F.col(src).alias("node"))
              .union(e.select(F.col(dst).alias("node"))).distinct())
     wexpr = F.lit(1).cast("long") if weight is None else F.col("__w")
@@ -233,17 +240,16 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
         base = F.lit((100 - damping_pct) / 100.0)
         contrib = (F.col("__r") * (damping_pct / 100.0)
                    * wexpr / F.col("__d"))
-    ranks = nodes.select("node", init.alias("rank")).localCheckpoint()
+    ranks = _cut(nodes.select("node", init.alias("rank")))
     for _ in range(iters):
         r = ranks.select(F.col("node").alias("__n"),
                          F.col("rank").alias("__r"))
         s = (ej.join(r, ej[src] == r["__n"])
              .select(F.col(dst).alias("node"), contrib.alias("__c"))
              .groupBy("node").agg(F.sum("__c").alias("__s")))
-        ranks = (nodes.join(s, "node", "left")
-                 .select("node",
-                         (base + F.coalesce("__s", F.lit(0))).alias("rank"))
-                 .localCheckpoint())
+        ranks = _cut(nodes.join(s, "node", "left")
+                     .select("node", (base + F.coalesce("__s", F.lit(0)))
+                             .alias("rank")))
     return ranks
 
 
@@ -270,7 +276,8 @@ def hits(edges: DataFrame, iters: int = 5, src: str = "src",
     ``pagerank``. Production default is double."""
     if arithmetic not in ("double", "integer"):
         raise ValueError(f"unknown arithmetic: {arithmetic!r}")
-    e = edges.select(src, dst).distinct().localCheckpoint()
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .select(src, dst).distinct().localCheckpoint())
     nodes = (e.select(F.col(src).alias("node"))
              .union(e.select(F.col(dst).alias("node"))).distinct()
              .localCheckpoint())

@@ -566,3 +566,24 @@ def test_pagerank_weighted_double_splits_proportionally(spark):
     plain = {r["node"]: r["rank"]
              for r in pagerank(u.select("src", "dst"), iters=3).collect()}
     assert w == plain
+
+
+def test_graph_ops_drop_null_endpoints(spark):
+    # real link tables contain NULL hosts (unparseable hrefs): every
+    # graph operator must drop them silently, not crash or count them
+    from quickner_spark.operators.graph import (cocitation,
+                                                label_propagation,
+                                                pagerank, triangle_count)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), (None, "a"), ("b", None),
+         (None, None)],
+        "src string, dst string")
+    assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "a")]) == \
+        {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iters=2).collect()}
+    assert set(got) == {"a", "b", "c"}
+    pr = {r["node"] for r in pagerank(edges, iters=1).collect()}
+    assert pr == {"a", "b", "c"}
+    cc = cocitation(edges, min_shared=1).collect()
+    assert all(r["a"] is not None and r["b"] is not None for r in cc)

@@ -386,3 +386,17 @@ def test_label_propagation_combinable_argmax_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_min" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_weighted_pagerank_no_cartesian_partial_sums(spark):
+    """pagerank(weight=...): every join is an equi-join and both the
+    weight pre-aggregation and per-iteration contribution sum run
+    map-side partials before their exchanges."""
+    from quickner_spark.operators.graph import pagerank
+
+    edges = E.q28_kg_edges(spark, SF).select(
+        "src", "dst", F.col("weight").alias("w"))
+    plan = _executed(pagerank(edges, iters=1, weight="w", checkpoint=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
