@@ -128,10 +128,11 @@ def k_hop(edges: DataFrame, seeds, k: int, src: str = "src",
     Each level is ``localCheckpoint``-ed because it is reused twice
     (as the next frontier and inside the visited anti-join)."""
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ednn = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    e = ednn.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
-        e = e.union(edges.select(F.col(dst).alias("u"),
-                                 F.col(src).alias("v")))
+        e = e.union(ednn.select(F.col(dst).alias("u"),
+                                F.col(src).alias("v")))
     e = e.distinct()
     if isinstance(seeds, DataFrame):
         sdf = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
@@ -163,6 +164,7 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
     equal the counts. Two map-side-combined aggregates + one outer join
     on the (node-sized, not edge-sized) results."""
     w = F.col(weight) if weight else F.lit(1)
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     out = (edges.groupBy(F.col(src).alias("node"))
            .agg(F.count("*").alias("out_deg"),
                 F.sum(w).alias("w_out")))

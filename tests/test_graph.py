@@ -587,3 +587,8 @@ def test_graph_ops_drop_null_endpoints(spark):
     assert pr == {"a", "b", "c"}
     cc = cocitation(edges, min_shared=1).collect()
     assert all(r["a"] is not None and r["b"] is not None for r in cc)
+    from quickner_spark.operators.graph import degree_stats, k_hop
+    kh = {r["node"] for r in k_hop(edges, ["a"], 2).collect()}
+    assert None not in kh and kh == {"b", "c"}
+    ds = {r["node"] for r in degree_stats(edges).collect()}
+    assert ds == {"a", "b", "c"}
