@@ -1157,6 +1157,20 @@ def q64_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     iters=2, arithmetic="integer")
 
 
+def q65_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the q40 seed canonicals over the
+    materialized KG — the standard entity-relatedness query: teleport
+    mass lands only on the seeds, so ranks measure proximity TO the
+    seed set and unreachable nodes are exactly 0. Integer arithmetic
+    (2 iterations); the oracle restates the seeded base/init terms as a
+    CASE over the seed literals inside the q42 unrolled-iteration
+    shape."""
+    from quickner_spark.operators.graph import pagerank
+
+    return pagerank(q28_kg_edges(spark, sf_dir), iters=2,
+                    arithmetic="integer", seeds=list(KHOP_SEEDS))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1279,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_cocitation": q62_cocitation,
         "q63_communities": q63_communities,
         "q64_weighted_pagerank": q64_weighted_pagerank,
+        "q65_personalized_pagerank": q65_personalized_pagerank,
     }
 
 
@@ -1473,6 +1488,22 @@ wc{i + 1} AS (SELECT we.dst AS node,
 wr{i + 1} AS (SELECT n.node, 150000000 + coalesce(wc{i + 1}.s, 0) AS "rank"
         FROM wnodes n LEFT JOIN wc{i + 1} ON wc{i + 1}.node = n.node)""")
     wpr_iters = ",".join(wpr_chain)
+    # q65: personalized integer PageRank — the q42 unrolled shape with
+    # the base/init terms gated on seed membership (teleport mass lands
+    # only on the seeds; unreachable nodes stay exactly 0)
+    seed_in = "node IN (" + ", ".join(f"'{s}'" for s in KHOP_SEEDS) + ")"
+    ppr_chain = []
+    for i in range(2):
+        ppr_chain.append(f"""
+pc{i + 1} AS (SELECT e2.dst AS node,
+            sum((pr{i}."rank" * 85) // (100 * deg.d)) AS s
+        FROM e2 JOIN pr{i} ON pr{i}.node = e2.src
+        JOIN deg ON deg.src = e2.src GROUP BY 1),
+pr{i + 1} AS (SELECT n.node,
+            (CASE WHEN n.{seed_in} THEN 150000000
+                  ELSE 0 END) + coalesce(pc{i + 1}.s, 0) AS "rank"
+        FROM nodes n LEFT JOIN pc{i + 1} ON pc{i + 1}.node = n.node)""")
+    ppr_iters = ",".join(ppr_chain)
     # q51: 2 integer-HITS iterations unrolled over the host graph
     # (scale 10^9; L1 normalization = `score // greatest(1, total //
     # scale)` — the same overflow-safe two-step division the engine
@@ -2232,6 +2263,18 @@ wnodes AS (SELECT src AS node FROM we UNION SELECT dst AS node FROM we),
 wr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS "rank" FROM wnodes),
 {wpr_iters}
 SELECT node, "rank" AS rank FROM wr2
+""",
+        # q65: personalized integer PageRank over the KG edges — q42's
+        # e2/nodes/deg chain, seeded init (pr0) and seeded base term.
+        "q65_personalized_pagerank": f"""
+WITH {edges_chain},
+e2 AS (SELECT DISTINCT src, dst FROM e),
+nodes AS (SELECT src AS node FROM e2 UNION SELECT dst AS node FROM e2),
+deg AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+pr0 AS (SELECT node, CASE WHEN {seed_in} THEN CAST(1000000000 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS "rank" FROM nodes),
+{ppr_iters}
+SELECT node, "rank" AS rank FROM pr2
 """,
         # q45: the hyperlink host graph — anchor regexp scan, fragment
         # strip, the same 4-branch resolution CASE (order matters: '//'

@@ -183,7 +183,7 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
              dst: str = "dst", damping_pct: int = 85,
              arithmetic: str = "double", scale: int = 10 ** 9,
              weight: str | None = None,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True, seeds=None) -> DataFrame:
     """Fixed-iteration PageRank over the distinct directed edge list;
     returns (node, rank). Per iteration: ONE edge-sized join (ranks are
     node-keyed, the natural shuffle key) + one map-side-combined sum —
@@ -200,6 +200,14 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
       which is what makes the cross-engine oracle exact (same trick as
       the quantized-cosine scoring in simsearch). Production default is
       double.
+    * ``seeds``: a list of node ids (or a 1-column DataFrame) switches
+      to PERSONALIZED PageRank — the teleport mass lands only on the
+      seeds (base term zero elsewhere; initial rank likewise), so the
+      fixpoint measures relatedness TO the seed set, the standard KG
+      entity-relatedness query. Ranks of nodes unreachable from the
+      seeds are exactly 0. Composes with ``weight`` and both
+      arithmetics; the q65 oracle restates the seeded base term as a
+      CASE over seed literals.
     * ``weight``: name of an edge-weight column (e.g. the host graph's
       anchor counts) — a node's rank mass splits over its out-edges
       proportionally to weight instead of uniformly; duplicate
@@ -242,6 +250,22 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
         base = F.lit((100 - damping_pct) / 100.0)
         contrib = (F.col("__r") * (damping_pct / 100.0)
                    * wexpr / F.col("__d"))
+    if seeds is not None:
+        if isinstance(seeds, DataFrame):
+            sdf = seeds.select(
+                F.col(seeds.columns[0]).alias("node")).distinct()
+        else:
+            node_type = e.schema[src].dataType
+            sdf = e.sparkSession.createDataFrame(
+                [(s,) for s in seeds],
+                StructType([StructField("node", node_type, False)]))
+        is_seed = F.col("__seed").isNotNull()
+        nodes = (nodes.join(F.broadcast(sdf.withColumn("__seed", F.lit(1))),
+                            "node", "left"))
+        zero = F.lit(0).cast("long") if integer else F.lit(0.0)
+        init = F.when(is_seed, init).otherwise(zero)
+        base = F.when(is_seed, base).otherwise(zero)
+        nodes = _cut(nodes)
     ranks = _cut(nodes.select("node", init.alias("rank")))
     for _ in range(iters):
         r = ranks.select(F.col("node").alias("__n"),
@@ -252,7 +276,7 @@ def pagerank(edges: DataFrame, iters: int = 10, src: str = "src",
         ranks = _cut(nodes.join(s, "node", "left")
                      .select("node", (base + F.coalesce("__s", F.lit(0)))
                              .alias("rank")))
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def hits(edges: DataFrame, iters: int = 5, src: str = "src",
@@ -377,6 +401,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``driver_threshold``: edge count at or below which the union-find fast
     path runs (0 disables it, used by differential tests).
     """
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     persisted = None
     if driver_threshold:
         # persist (recoverable, spillable) rather than localCheckpoint:

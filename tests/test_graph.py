@@ -592,3 +592,30 @@ def test_graph_ops_drop_null_endpoints(spark):
     assert None not in kh and kh == {"b", "c"}
     ds = {r["node"] for r in degree_stats(edges).collect()}
     assert ds == {"a", "b", "c"}
+    got_cc = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a"), (None, "a"),
+                         ("b", None), (None, None)])
+    assert got_cc == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_personalized_pagerank_integer_hand_computed(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iters=2, arithmetic="integer", scale=100,
+                             seeds=["a"]).collect()}
+    # r0: a=100 b=0 c=0; base: a=15 else 0
+    # iter1: a->b (100*85)div100=85 => a=15 b=85 c=0
+    # iter2: a->b (15*85)div100=12; b->c (85*85)div100=72
+    assert got == {"a": 15, "b": 12, "c": 72}
+
+
+def test_personalized_pagerank_unreachable_is_zero_and_df_seeds(spark):
+    from quickner_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "s string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iters=3, seeds=seeds).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
