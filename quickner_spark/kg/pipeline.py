@@ -469,7 +469,9 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
                       fuse: bool = True,
                       extractor=None,
                       pages_format: str = "parquet",
-                      link_graph: bool = False) -> Pipeline:
+                      link_graph: bool = False,
+                      host_rank: bool = False,
+                      host_rank_iters: int = 5) -> Pipeline:
     """The standard 7-stage KG build over a pages table. ``catalog``: an
     Iceberg namespace to write catalog tables into instead of parquet
     directories; ``bucket=("url", N)``: bucketed session-catalog tables
@@ -498,7 +500,15 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
     hyperlink graph (:mod:`quickner_spark.kg.weblinks`) built from the raw
     pages' anchors, the Common-Crawl webgraph shape. Independent of the
     entity stages; ``operators.graph`` queries (PageRank, k-hop, degrees)
-    run on it unchanged."""
+    run on it unchanged.
+
+    ``host_rank=True`` (requires ``link_graph``) appends a ``host_rank``
+    stage: anchor-count-weighted PageRank over the materialized
+    ``host_edges`` table, ``host_rank_iters`` fixed iterations →
+    ``(host, rank)`` — the crawl-prioritization / quality-weighting
+    signal a harvest pipeline reads next round. Host-graph-sized input
+    (already output-bounded), so the stage costs iterations over a
+    SMALL table, never the corpus."""
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     from quickner_spark.kg.extract import extract_annotate_stage, extract_stage
     from quickner_spark.kg.link import alias_table_from_gazetteer, link_mentions
@@ -513,6 +523,9 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
 
     if pages_format not in ("parquet", "warc"):
         raise ValueError(f"unknown pages_format: {pages_format!r}")
+    if host_rank and not link_graph:
+        raise ValueError("host_rank=True requires link_graph=True "
+                         "(it ranks the host_edges stage's output)")
 
     def _read_pages(spark):
         if pages_format == "warc":
@@ -642,7 +655,18 @@ def build_kg_pipeline(spark: SparkSession, base_dir: str,
         Stage("nodes", s_nodes),
         Stage("edges", s_edges, partition_by=("pred",)),
     ]
+    def s_host_rank(spark, ctx):
+        # consumes the materialized host_edges table (never the corpus)
+        from quickner_spark.operators.graph import pagerank
+        he = ctx["pipeline"].table("host_edges")
+        return (pagerank(he, src="src_host", dst="dst_host",
+                         weight="n_links", iters=host_rank_iters)
+                .select(F.col("node").alias("host"), "rank"))
+
     if link_graph:
         stages.append(Stage("host_edges", s_host_edges, bucket_output=False))
+        if host_rank:
+            stages.append(Stage("host_rank", s_host_rank,
+                                bucket_output=False))
     return Pipeline(spark, base_dir, stages,
                     catalog=catalog, bucket=bucket, table_prefix=table_prefix)

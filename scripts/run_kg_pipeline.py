@@ -70,6 +70,10 @@ def main() -> None:
     ap.add_argument("--link-graph", action="store_true",
                     help="also build the host-level hyperlink graph as a "
                          "host_edges stage (kg.weblinks)")
+    ap.add_argument("--host-rank", action="store_true",
+                    help="with --link-graph: append a host_rank stage — "
+                         "anchor-count-weighted PageRank over host_edges "
+                         "(crawl-prioritization signal)")
     ap.add_argument("--outlink-hosts", type=int, default=0,
                     help="messy synth corpus only: plant a 4-anchor "
                          "cross-host block per page over this many "
@@ -100,7 +104,8 @@ def main() -> None:
                              corpus.PREDICATES, bucket=bucket,
                              fuse=not args.no_fuse, extractor=extractor,
                              pages_format=args.input_format,
-                             link_graph=args.link_graph)
+                             link_graph=args.link_graph,
+                             host_rank=args.host_rank)
     t0 = time.time()
     status = pipe.run(force=args.force)
     wall = time.time() - t0

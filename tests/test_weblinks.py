@@ -379,6 +379,37 @@ def test_pipeline_host_edges_stage(spark, tmp_path):
     assert pipe.table("edges").count() > 0
 
 
+def test_pipeline_host_rank_stage(spark, tmp_path):
+    """host_rank=True materializes anchor-count-weighted PageRank over
+    the host_edges table, numerically identical to calling the operator
+    directly on the same graph; requires link_graph."""
+    import pytest
+
+    from quickner_spark.kg import corpus
+    from quickner_spark.kg.pipeline import build_kg_pipeline
+    from quickner_spark.kg.webextract import extract_text_web
+    from quickner_spark.operators.graph import pagerank
+
+    pages_path = str(tmp_path / "pages")
+    synth_pages(spark, 60, html_style="messy",
+                outlink_hosts=4).write.parquet(pages_path)
+    gaz = corpus.synth_gazetteer(99, 42)
+    pipe = build_kg_pipeline(spark, str(tmp_path / "kg"), pages_path,
+                             gaz, corpus.PREDICATES,
+                             extractor=extract_text_web, link_graph=True,
+                             host_rank=True, host_rank_iters=3)
+    pipe.run()
+    got = {r["host"]: r["rank"] for r in pipe.table("host_rank").collect()}
+    want = {r["node"]: r["rank"] for r in
+            pagerank(pipe.table("host_edges"), src="src_host",
+                     dst="dst_host", weight="n_links", iters=3).collect()}
+    assert got.keys() == want.keys() and got
+    assert all(abs(got[h] - want[h]) < 1e-12 for h in got)
+    with pytest.raises(ValueError, match="requires link_graph"):
+        build_kg_pipeline(spark, str(tmp_path / "kg2"), pages_path,
+                          gaz, corpus.PREDICATES, host_rank=True)
+
+
 def test_extract_sitemap_urls(spark):
     from quickner_spark.kg.weblinks import extract_sitemap_urls
 
