@@ -75,12 +75,16 @@ def crawl(seeds: DataFrame,
           delays: DataFrame | None = None,
           rounds: int = 3,
           budget_per_host: int | None = None,
+          host_budget=None,
           priority_col: str | None = None,
           url_col: str = "url") -> CrawlResult:
     """Run ``rounds`` BFS crawl rounds from ``seeds``.
 
     Each round: ``plan_frontier`` filters and schedules the frontier
-    (robots ``rules``/``delays``, per-host ``budget_per_host``,
+    (robots ``rules``/``delays``, per-host ``budget_per_host`` or the
+    importance-proportional ``host_budget`` table —
+    :func:`~quickner_spark.kg.robots.allocate_budget` over a prior
+    round's ``host_rank`` closes the harvest loop,
     ``priority_col`` order); ``fetcher`` maps the plan to fetched pages
     (must return at least (url, html) — extra columns pass through);
     :func:`discovered_urls` extracts candidates;
@@ -115,7 +119,8 @@ def crawl(seeds: DataFrame,
             break
         plan = plan_frontier(frontier, rules, delays,
                              priority_col=priority_col,
-                             budget_per_host=budget_per_host)
+                             budget_per_host=budget_per_host,
+                             host_budget=host_budget)
         pages = fetcher(plan).withColumn("crawl_round", F.lit(rnd))
         # COLUMNAR cache, not localCheckpoint: the checkpoint RDD stores
         # row objects and rescans ~10x slower than the vectorized

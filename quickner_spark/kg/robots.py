@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["robots_rules", "frontier_allowed", "crawl_delays",
-           "robots_sitemaps", "plan_frontier"]
+           "robots_sitemaps", "plan_frontier", "allocate_budget"]
 
 _RULES_RE = "(?i)^(user-agent|allow|disallow)\\s*:"
 _DELAY_RE = "(?i)^(user-agent|crawl-delay)\\s*:"
@@ -179,6 +179,7 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
                   delays: DataFrame | None = None,
                   url_col: str = "url", priority_col: str | None = None,
                   budget_per_host: int | None = None,
+                  host_budget: DataFrame | None = None,
                   default_delay: float = 1.0) -> DataFrame:
     """The crawl scheduler's core decision, composed from this module's
     pieces: which frontier URLs may be fetched, in what per-host order,
@@ -192,6 +193,12 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
       per-host page cap. Politeness makes a host's fetches SEQUENTIAL,
       so with delay d the budget also bounds each host's crawl-round
       wall clock at ``budget · d`` seconds.
+    * ``host_budget``: a (host, budget) DataFrame giving PER-HOST caps —
+      importance-proportional crawl allocation (feed
+      :func:`allocate_budget` over the pipeline's ``host_rank`` table).
+      A host's row overrides ``budget_per_host``; hosts without a row
+      fall back to it (or stay uncapped when it is None). Broadcast —
+      the table is |hosts|-bounded.
     * ``fetch_offset_s = (fetch_rank − 1) · delay``: the earliest
       politeness-respecting fetch time relative to the host's first
       fetch. Delay comes from ``delays`` (:func:`crawl_delays` output,
@@ -210,7 +217,18 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
         + [F.col(url_col)]
     w = Window.partitionBy("host").orderBy(*order)
     a = a.withColumn("fetch_rank", F.row_number().over(w))
-    if budget_per_host is not None:
+    if host_budget is not None:
+        c0, c1 = host_budget.columns[:2]
+        hb = host_budget.select(F.col(c0).alias("host"),
+                                F.col(c1).cast("int").alias("__hb"))
+        default_cap = (F.lit(int(budget_per_host))
+                       if budget_per_host is not None
+                       else F.lit(None).cast("int"))
+        cap = F.coalesce(F.col("__hb"), default_cap)
+        a = (a.join(F.broadcast(hb), "host", "left")
+             .where(cap.isNull() | (F.col("fetch_rank") <= cap))
+             .drop("__hb"))
+    elif budget_per_host is not None:
         a = a.where(F.col("fetch_rank") <= budget_per_host)
     if delays is not None:
         a = a.join(delays, "host", "left")
@@ -221,3 +239,36 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
         "fetch_offset_s",
         (F.col("fetch_rank") - F.lit(1)).cast("double") * delay)
         .drop("delay_s"))
+
+
+def allocate_budget(host_rank: DataFrame, total_budget: int,
+                    min_budget: int = 1,
+                    host_col: str = "host",
+                    rank_col: str = "rank") -> DataFrame:
+    """Importance-proportional crawl-budget allocation: (host, budget)
+    with ``budget = max(min_budget, floor(total_budget · rank/Σrank))``
+    — feed the pipeline's ``host_rank`` table in, hand the result to
+    :func:`plan_frontier`'s ``host_budget``. This is the loop a harvest
+    pipeline closes every round: crawl → host graph → PageRank →
+    budgets → next crawl.
+
+    Integer floor allocation means Σbudget <= total_budget + n_hosts ·
+    min_budget (the floor under-allocates, min_budget tops up) — the
+    cap is per-host scheduling guidance, not a global quota, so the
+    slack is intended. One 1-row broadcast (the rank total) + one
+    projection; non-positive or NULL ranks get ``min_budget``."""
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive: {total_budget}")
+    hr = host_rank.select(F.col(host_col).alias("host"),
+                          F.col(rank_col).cast("double").alias("__r"))
+    tot = hr.agg(F.sum(F.when(F.col("__r") > 0, F.col("__r")))
+                 .alias("__t"))
+    share = F.floor(F.lit(float(total_budget)) * F.col("__r")
+                    / F.col("__t")).cast("int")
+    return (hr.join(F.broadcast(tot))
+            .select("host",
+                    F.greatest(
+                        F.lit(int(min_budget)),
+                        F.when(F.col("__r") > 0, share)
+                        .otherwise(F.lit(int(min_budget))))
+                    .alias("budget")))

@@ -176,3 +176,58 @@ def test_crawl_to_kg_end_to_end(spark, tmp_path):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, \
             table
     web.unpersist()
+
+
+def test_crawl_host_budget_closes_harvest_loop(spark):
+    """The rank-guided loop end-to-end: crawl once → host graph →
+    weighted PageRank → allocate_budget → recrawl under the per-host
+    budgets. The heavily-cited host earns a bigger budget; the
+    de-prioritized host's round frontier is capped at its budget."""
+    from quickner_spark.kg.robots import allocate_budget
+    from quickner_spark.kg.weblinks import extract_links, host_graph
+    from quickner_spark.operators.graph import pagerank
+
+    def page(links):
+        return ("<html><body>" +
+                "".join(f'<a href="{h}">x</a>' for h in links) +
+                "</body></html>").encode()
+
+    # crawler.org seeds 3 spoke pages + 1 hub page; every spoke page
+    # cites all 3 hub pages — hub.org ends up far more cited than
+    # spoke.org
+    hub = [f"https://hub.org/p{i}" for i in (1, 2, 3)]
+    web = {
+        "https://crawler.org/seed": page(
+            ["https://spoke.org/s1", "https://spoke.org/s2",
+             "https://spoke.org/s3", hub[0]]),
+        "https://spoke.org/s1": page(hub),
+        "https://spoke.org/s2": page(hub),
+        "https://spoke.org/s3": page(hub),
+        hub[0]: page([]), hub[1]: page([]), hub[2]: page([]),
+    }
+    web_df = spark.createDataFrame(
+        [Row(url=u, html=bytearray(b)) for u, b in web.items()])
+    robots = spark.createDataFrame(
+        [Row(host="crawler.org", body="User-agent: *\nAllow: /")])
+    rules = robots_rules(robots)
+    seeds = spark.createDataFrame([Row(url="https://crawler.org/seed")])
+
+    first = crawl(seeds, _fetcher(web_df), rules, rounds=3)
+    hg = host_graph(extract_links(first.pages.select("url", "html")))
+    hr = pagerank(hg, src="src_host", dst="dst_host", weight="n_links",
+                  iters=3).select(F.col("node").alias("host"), "rank")
+    budgets = allocate_budget(hr, total_budget=8, min_budget=1)
+    b = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert b["hub.org"] > b["spoke.org"]  # 9 citations vs 3
+    assert b["spoke.org"] == 2  # floor(8 * rank-share) under this graph
+
+    second = crawl(seeds, _fetcher(web_df), rules, rounds=3,
+                   host_budget=budgets)
+    per_host = {r["host"]: r["count"] for r in
+                second.pages.withColumn(
+                    "host", F.regexp_extract("url", "https://([^/]+)", 1))
+                .groupBy("host").count().collect()}
+    # spoke.org's round-1 frontier (3 urls) is capped at its budget;
+    # hub.org is never capped (frontier <= its budget each round)
+    assert per_host["spoke.org"] == b["spoke.org"]
+    assert per_host["hub.org"] == 3

@@ -170,3 +170,51 @@ def test_plan_frontier_order_budget_offsets(spark):
                                   budget_per_host=2).collect()}
     assert got == {"https://h.org/a": 1, "https://h.org/b": 2,
                    "https://fast.org/only": 1}
+
+
+def test_plan_frontier_host_budget_overrides_uniform(spark):
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.robots import plan_frontier, robots_rules
+
+    rules = robots_rules(spark.createDataFrame(
+        [Row(host="a.org", body="User-agent: *\nAllow: /")]))
+    urls = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("a.org", "b.org", "c.org")
+         for i in range(5)], "url string")
+    hb = spark.createDataFrame([("a.org", 1), ("b.org", 3)],
+                               "host string, budget int")
+    # host_budget row overrides; b.org capped at 3; c.org falls back to
+    # budget_per_host=2
+    got = (plan_frontier(urls, rules, budget_per_host=2, host_budget=hb)
+           .groupBy("host").count().collect())
+    assert {r["host"]: r["count"] for r in got} == \
+        {"a.org": 1, "b.org": 3, "c.org": 2}
+    # without the uniform fallback, hosts absent from the table are
+    # uncapped
+    got2 = (plan_frontier(urls, rules, host_budget=hb)
+            .groupBy("host").count().collect())
+    assert {r["host"]: r["count"] for r in got2} == \
+        {"a.org": 1, "b.org": 3, "c.org": 5}
+
+
+def test_allocate_budget_proportional_with_floor(spark):
+    from quickner_spark.kg.robots import allocate_budget
+
+    hr = spark.createDataFrame(
+        [("big.org", 600.0), ("mid.org", 300.0), ("tiny.org", 100.0),
+         ("zero.org", 0.0), ("neg.org", -5.0)],
+        "host string, rank double")
+    got = {r["host"]: r["budget"]
+           for r in allocate_budget(hr, total_budget=100).collect()}
+    # shares over the POSITIVE-rank total (1000): 60/30/10; zero and
+    # negative ranks get min_budget
+    assert got == {"big.org": 60, "mid.org": 30, "tiny.org": 10,
+                   "zero.org": 1, "neg.org": 1}
+    got4 = {r["host"]: r["budget"]
+            for r in allocate_budget(hr, total_budget=100,
+                                     min_budget=4).collect()}
+    assert got4["tiny.org"] == 10 and got4["zero.org"] == 4
+    import pytest
+    with pytest.raises(ValueError, match="must be positive"):
+        allocate_budget(hr, total_budget=0)
