@@ -85,11 +85,48 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+# Per-(session, sf_dir) memo for the shared sub-pipeline builds. The
+# graph/webgraph queries (q40-q44/q46-q48/q51/q61-q65) all start from the
+# same two intermediates — the q28 KG edges and the q45 host graph, which
+# in turn share the matcher's mention table — so without a memo a 65-query
+# gate re-runs the extraction ~12x. Entries are cached+counted once and
+# reused verbatim (zero semantic change: same DataFrame object, same plan).
+# Benchmarks that need standalone per-query cost call clear_memo() between
+# measured queries.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        # evict entries from dead sessions so restarts don't accumulate
+        for stale in [s for s in _MEMO if s[0] != app]:
+            del _MEMO[stale]
+        df = build().cache()
+        df.count()
+        _MEMO[k] = df
+    return df
+
+
+def clear_memo() -> None:
+    """Unpersist and drop every memoized intermediate (bench hygiene)."""
+    for df in _MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MEMO.clear()
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gaz = normalize_gazetteer(GAZETTEER, case_sensitive=False)
-    return annotate_mentions(_docs(spark, sf_dir), gaz,
-                             id_col="doc_id", text_col="text",
-                             case_sensitive=False)
+    def build() -> DataFrame:
+        gaz = normalize_gazetteer(GAZETTEER, case_sensitive=False)
+        return annotate_mentions(_docs(spark, sf_dir), gaz,
+                                 id_col="doc_id", text_col="text",
+                                 case_sensitive=False)
+    return _memo(spark, sf_dir, "mentions", build)
 
 
 def _gaz_values_sql() -> str:
@@ -196,11 +233,11 @@ def q11_knn_quantized_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q12_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule triple extraction: mention-pair + connective pattern.
-    Mentions are cached: the self-join references the mapInPandas stage
-    twice and must not run the matcher twice."""
+    Mentions come from the memoized (cached+counted) build: the self-join
+    references the mapInPandas stage twice and must not run the matcher
+    twice."""
     docs = _docs(spark, sf_dir)
-    m = _mentions(spark, sf_dir).cache()
-    m.count()  # materialize before the self-join references it twice
+    m = _mentions(spark, sf_dir)
     return pattern_triples(m, docs, PREDICATES)
 
 
@@ -208,8 +245,7 @@ def q13_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule canonicalization: connected components over the
     adjacent-surface co-occurrence graph (iterative min-label propagation;
     oracle is a recursive-CTE transitive closure)."""
-    m = _mentions(spark, sf_dir).cache()
-    m.count()  # materialize before the self-join references it twice
+    m = _mentions(spark, sf_dir)  # memoized: materialized before the self-join
     m1 = m.select("doc_id", F.col("end").alias("e"), F.col("surface").alias("u"))
     m2 = m.select("doc_id", F.col("start").alias("s"), F.col("surface").alias("v"))
     edges = (m1.join(m2, "doc_id")
@@ -353,22 +389,25 @@ def q28_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule KG edge materialization (kg/pipeline.py s_edges shape):
     triples joined to a broadcast alias->canonical map on both endpoints,
     then weighted groupBy(src, dst, pred). The map resolves each alias to
-    its max-(prior, canonical) candidate."""
-    docs = _docs(spark, sf_dir)
-    m = _mentions(spark, sf_dir).cache()
-    m.count()
-    t = pattern_triples(m, docs, PREDICATES)
-    al = alias_table_from_gazetteer(spark, normalize_gazetteer(GAZETTEER),
-                                    EXTRA_ALIASES)
-    amap = (al.groupBy("alias")
-            .agg(F.max_by("canonical_id",
-                          F.struct("prior", "canonical_id")).alias("cid")))
-    subj_map = amap.selectExpr("alias AS subj", "cid AS src")
-    obj_map = amap.selectExpr("alias AS obj", "cid AS dst")
-    return (t.join(F.broadcast(subj_map), "subj")
-            .join(F.broadcast(obj_map), "obj")
-            .groupBy("src", "dst", "pred")
-            .agg(F.count("*").alias("weight")))
+    its max-(prior, canonical) candidate. Memoized per (session, sf_dir):
+    nine downstream graph queries start from this table."""
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        m = _mentions(spark, sf_dir)
+        t = pattern_triples(m, docs, PREDICATES)
+        al = alias_table_from_gazetteer(spark,
+                                        normalize_gazetteer(GAZETTEER),
+                                        EXTRA_ALIASES)
+        amap = (al.groupBy("alias")
+                .agg(F.max_by("canonical_id",
+                              F.struct("prior", "canonical_id")).alias("cid")))
+        subj_map = amap.selectExpr("alias AS subj", "cid AS src")
+        obj_map = amap.selectExpr("alias AS obj", "cid AS dst")
+        return (t.join(F.broadcast(subj_map), "subj")
+                .join(F.broadcast(obj_map), "obj")
+                .groupBy("src", "dst", "pred")
+                .agg(F.count("*").alias("weight")))
+    return _memo(spark, sf_dir, "kg_edges", build)
 
 
 def q29_maximal_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,8 +416,7 @@ def q29_maximal_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained in a longer mention of the same doc — 'hash' inside
     'hash join' goes, equal-span different-label survive. Left-anti
     self-join on the doc key with a containment range condition."""
-    m = _mentions(spark, sf_dir).cache()
-    m.count()  # the anti-join references the matcher stage twice
+    m = _mentions(spark, sf_dir)  # memoized: anti-join reads it twice
     return maximal_mentions(m)
 
 
@@ -665,11 +703,15 @@ def q45_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src_host, dst_host) count with a map-side partial aggregate.
     ``keep_self=True`` so the path-absolute / relative branches stay
     observable in the result; the oracle restates scan, resolution, and
-    grouping over the identically-constructed html."""
+    grouping over the identically-constructed html. Memoized per
+    (session, sf_dir): q48/q51/q64 and the crawl-family queries re-read
+    this graph."""
     from quickner_spark.kg.weblinks import extract_links, host_graph
 
-    return host_graph(extract_links(_synth_link_pages(spark, sf_dir)),
-                      keep_self=True)
+    def build() -> DataFrame:
+        return host_graph(extract_links(_synth_link_pages(spark, sf_dir)),
+                          keep_self=True)
+    return _memo(spark, sf_dir, "host_graph", build)
 
 
 def q46_anchor_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,12 +834,14 @@ def q51_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on any engine regardless of aggregation order (the
     q42 integer-pagerank trick applied to the two-sided hub/authority
     update). Self-loop host edges dropped (host_graph default) — a
-    host's nav links say nothing about its hub quality. Production
-    default is double arithmetic."""
-    from quickner_spark.kg.weblinks import extract_links, host_graph
+    host's nav links say nothing about its hub quality; the memoized
+    keep_self q45 graph is reused with the self-loops filtered out,
+    which is identical because the filter is on the group keys.
+    Production default is double arithmetic."""
     from quickner_spark.operators.graph import hits
 
-    hg = host_graph(extract_links(_synth_link_pages(spark, sf_dir)))
+    hg = q45_host_graph(spark, sf_dir).where(
+        F.col("src_host") != F.col("dst_host"))
     return hits(hg, src="src_host", dst="dst_host",
                 iters=2, arithmetic="integer")
 
@@ -1148,11 +1192,13 @@ def q64_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``((rank·85) div 100)·w div W`` with the multiply-before-divide
     order restated verbatim in the oracle, so the int64 ranks are
     bit-identical cross-engine (the q42 trick extended to weighted
-    mass-splitting). Production default is double + weight."""
-    from quickner_spark.kg.weblinks import extract_links, host_graph
+    mass-splitting). Self-loops dropped by filtering the memoized
+    keep_self q45 graph (identical: the filter is on the group keys).
+    Production default is double + weight."""
     from quickner_spark.operators.graph import pagerank
 
-    hg = host_graph(extract_links(_synth_link_pages(spark, sf_dir)))
+    hg = q45_host_graph(spark, sf_dir).where(
+        F.col("src_host") != F.col("dst_host"))
     return pagerank(hg, src="src_host", dst="dst_host", weight="n_links",
                     iters=2, arithmetic="integer")
 
@@ -1468,7 +1514,7 @@ e AS (
     for i in range(3):
         pr_chain.append(f"""
 c{i + 1} AS (SELECT e2.dst AS node,
-            sum((r."rank" * 85) // (100 * deg.d)) AS s
+            CAST(sum((r."rank" * 85) // (100 * deg.d)) AS BIGINT) AS s
         FROM e2 JOIN r{i} r ON r.node = e2.src
         JOIN deg ON deg.src = e2.src GROUP BY 1),
 r{i + 1} AS (SELECT n.node, 150000000 + coalesce(c{i + 1}.s, 0) AS "rank"
@@ -1482,7 +1528,8 @@ r{i + 1} AS (SELECT n.node, 150000000 + coalesce(c{i + 1}.s, 0) AS "rank"
     for i in range(2):
         wpr_chain.append(f"""
 wc{i + 1} AS (SELECT we.dst AS node,
-            sum(((wr{i}."rank" * 85) // 100) * we.w // wdeg.d) AS s
+            CAST(sum(((wr{i}."rank" * 85) // 100) * we.w // wdeg.d)
+                 AS BIGINT) AS s
         FROM we JOIN wr{i} ON wr{i}.node = we.src
         JOIN wdeg ON wdeg.src = we.src GROUP BY 1),
 wr{i + 1} AS (SELECT n.node, 150000000 + coalesce(wc{i + 1}.s, 0) AS "rank"
@@ -1496,7 +1543,7 @@ wr{i + 1} AS (SELECT n.node, 150000000 + coalesce(wc{i + 1}.s, 0) AS "rank"
     for i in range(2):
         ppr_chain.append(f"""
 pc{i + 1} AS (SELECT e2.dst AS node,
-            sum((pr{i}."rank" * 85) // (100 * deg.d)) AS s
+            CAST(sum((pr{i}."rank" * 85) // (100 * deg.d)) AS BIGINT) AS s
         FROM e2 JOIN pr{i} ON pr{i}.node = e2.src
         JOIN deg ON deg.src = e2.src GROUP BY 1),
 pr{i + 1} AS (SELECT n.node,
@@ -1511,15 +1558,17 @@ pr{i + 1} AS (SELECT n.node,
     hits_chain = []
     for i in range(2):
         hits_chain.append(f"""
-ar{i + 1} AS (SELECT e3.dst AS node, sum(h{i}.h) AS s
+ar{i + 1} AS (SELECT e3.dst AS node, CAST(sum(h{i}.h) AS BIGINT) AS s
         FROM e3 JOIN h{i} ON h{i}.node = e3.src GROUP BY 1),
 a{i + 1} AS (SELECT n.node, coalesce(ar{i + 1}.s // greatest(1,
-            (SELECT sum(s) FROM ar{i + 1}) // 1000000000), 0) AS a
+            CAST((SELECT sum(s) FROM ar{i + 1}) AS BIGINT)
+            // 1000000000), 0) AS a
         FROM hnodes n LEFT JOIN ar{i + 1} ON ar{i + 1}.node = n.node),
-hr{i + 1} AS (SELECT e3.src AS node, sum(a{i + 1}.a) AS s
+hr{i + 1} AS (SELECT e3.src AS node, CAST(sum(a{i + 1}.a) AS BIGINT) AS s
         FROM e3 JOIN a{i + 1} ON a{i + 1}.node = e3.dst GROUP BY 1),
 h{i + 1} AS (SELECT n.node, coalesce(hr{i + 1}.s // greatest(1,
-            (SELECT sum(s) FROM hr{i + 1}) // 1000000000), 0) AS h
+            CAST((SELECT sum(s) FROM hr{i + 1}) AS BIGINT)
+            // 1000000000), 0) AS h
         FROM hnodes n LEFT JOIN hr{i + 1} ON hr{i + 1}.node = n.node)""")
     hits_iters = ",".join(hits_chain)
     return {
@@ -2097,9 +2146,11 @@ SELECT seed, node, 2 AS dist FROM h2
 """,
         "q41_degrees": f"""
 WITH {edges_chain},
-outd AS (SELECT src AS node, count(*) AS out_deg, sum(weight) AS w_out
+outd AS (SELECT src AS node, count(*) AS out_deg,
+                CAST(sum(weight) AS BIGINT) AS w_out
          FROM e GROUP BY 1),
-ind  AS (SELECT dst AS node, count(*) AS in_deg, sum(weight) AS w_in
+ind  AS (SELECT dst AS node, count(*) AS in_deg,
+                CAST(sum(weight) AS BIGINT) AS w_in
          FROM e GROUP BY 1)
 SELECT coalesce(o.node, i.node) AS node,
        coalesce(o.out_deg, 0) AS out_deg,
@@ -2296,7 +2347,7 @@ folded AS (
          n_links
   FROM hg
 )
-SELECT src_domain, dst_domain, sum(n_links) AS n_links
+SELECT src_domain, dst_domain, CAST(sum(n_links) AS BIGINT) AS n_links
 FROM folded
 WHERE src_domain <> dst_domain
 GROUP BY 1, 2
@@ -2602,7 +2653,8 @@ ranked AS (
       PARTITION BY host ORDER BY prio DESC, url) AS fetch_rank
   FROM allowed
 )
-SELECT r.url, r.prio, r.host, r.fetch_rank,
+SELECT r.url, r.prio, r.host,
+       CAST(r.fetch_rank AS INTEGER) AS fetch_rank,
        CAST(r.fetch_rank - 1 AS DOUBLE)
          * coalesce(d.delay_s, 1.0) AS fetch_offset_s
 FROM ranked r LEFT JOIN rdelays d ON d.host = r.host

@@ -76,6 +76,10 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for r in range(runs):
         for name in HEADLINE:
+            # each timed query pays its FULL standalone cost: the shared
+            # sub-pipeline memo (mentions/KG edges/host graph) would
+            # otherwise let later queries ride earlier queries' caches
+            E.clear_memo()
             t0 = time.time()
             counts[name] = qs[name](spark, sf_dir).count()
             samples[name].append(round(time.time() - t0, 3))

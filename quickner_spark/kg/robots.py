@@ -50,24 +50,33 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["robots_rules", "frontier_allowed", "crawl_delays",
            "robots_sitemaps", "plan_frontier", "allocate_budget"]
 
-_RULES_RE = "(?i)^(user-agent|allow|disallow)\\s*:"
-_DELAY_RE = "(?i)^(user-agent|crawl-delay)\\s*:"
+# group boundaries are computed over EVERY recognized directive — a
+# User-agent line preceded by a Crawl-delay line starts a new group even
+# in the rules pass, and Allow/Disallow lines separate groups even in the
+# delays pass. Filtering to the pass-specific kinds BEFORE grouping (the
+# pre-round-5 behavior) merged groups across invisible directives, so
+# 'User-agent: *\nCrawl-delay: 10\nUser-agent: AhrefsBot\nDisallow: /'
+# wrongly disallowed every agent.
+_ALL_KINDS_RE = "(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:"
 
 
-def _governed_lines(robots: DataFrame, host_col: str, body_col: str,
-                    agent: str, kind_re: str) -> DataFrame:
+def _governed_lines(robots: DataFrame, host_col: str,
+                    body_col: str, agent: str) -> DataFrame:
     """(host, pos, kind, value, gid, governs) — robots bodies split into
     directive lines with RFC 9309 group structure attached. One
     posexplode over lines, one lag window (group starts), one running-sum
     window (group ids), one max window (does any User-agent line of my
-    group name me) — all partitioned by host."""
+    group name me) — all partitioned by host. Callers filter to the
+    directive kinds they want AFTER the group machinery ran over the
+    full sequence."""
     lines = (robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
         .select("host", "pos",
                 F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"))
         .select("host", "pos",
-                F.lower(F.regexp_extract("line", kind_re, 1)).alias("kind"),
+                F.lower(F.regexp_extract(
+                    "line", _ALL_KINDS_RE, 1)).alias("kind"),
                 F.trim(F.regexp_extract(
                     "line", "^[^:]*:(.*)$", 1)).alias("value"))
         .where(F.col("kind") != ""))
@@ -90,11 +99,10 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
                  agent: str = "*") -> DataFrame:
     """(host, rule, path) — the Allow/Disallow rules governing ``agent``
     extracted from raw robots.txt bodies, one row per kept rule."""
-    governed = _governed_lines(robots, host_col, body_col, agent,
-                               _RULES_RE)
+    governed = _governed_lines(robots, host_col, body_col, agent)
     return (governed
             .where(F.col("governs") & (F.col("gid") > 0)
-                   & (F.col("kind") != "user-agent")
+                   & F.col("kind").isin("allow", "disallow")
                    & (F.col("value") != ""))
             .select("host", F.col("kind").alias("rule"),
                     F.col("value").alias("path")))
@@ -108,8 +116,7 @@ def crawl_delays(robots: DataFrame, host_col: str = "host",
     cross-engine). Hosts without a governing numeric Crawl-delay are
     absent — the caller supplies its own default politeness interval
     (:func:`plan_frontier` ``default_delay``)."""
-    governed = _governed_lines(robots, host_col, body_col, agent,
-                               _DELAY_RE)
+    governed = _governed_lines(robots, host_col, body_col, agent)
     return (governed
             .where(F.col("governs") & (F.col("gid") > 0)
                    & (F.col("kind") == "crawl-delay")
@@ -180,7 +187,8 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url", priority_col: str | None = None,
                   budget_per_host: int | None = None,
                   host_budget: DataFrame | None = None,
-                  default_delay: float = 1.0) -> DataFrame:
+                  default_delay: float = 1.0,
+                  keep_dropped: bool = False) -> DataFrame:
     """The crawl scheduler's core decision, composed from this module's
     pieces: which frontier URLs may be fetched, in what per-host order,
     and WHEN — ``(…urls columns…, host, fetch_rank, fetch_offset_s)``.

@@ -487,8 +487,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
     around. Each triangle is produced exactly once (its minimal vertex
     under the order is the apex), then exploded to its 3 corners for the
     per-node count. Plan: distinct + wedge self-equi-join on the apex +
-    closing equi-join + one map-side-combined count; the degree lookup
-    is node-sized and broadcast.
+    closing equi-join + one map-side-combined count; the degree lookups
+    are plain equi-joins with NO forced broadcast hint — node-sized is
+    not small (a 10^8-host webgraph's degree table would OOM a forced
+    broadcast), so AQE broadcasts when the table fits its threshold and
+    falls back to a shuffle join when it doesn't.
 
     Determinism: outputs are integer counts; order ties break on node
     id, so the orientation — hence the intermediate sizes, not just the
@@ -511,10 +514,10 @@ def triangle_count(edges: DataFrame, src: str = "src",
     lo = (F.col("da") < F.col("db")) | \
          ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     o = (und
-         .join(F.broadcast(deg.select(F.col("node").alias("a"),
-                                      F.col("d").alias("da"))), "a")
-         .join(F.broadcast(deg.select(F.col("node").alias("b"),
-                                      F.col("d").alias("db"))), "b")
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("d").alias("db")), "b")
          .select(F.when(lo, F.col("a")).otherwise(F.col("b")).alias("u"),
                  F.when(lo, F.col("b")).otherwise(F.col("a")).alias("v"),
                  # carry the head's (deg, id) rank so the wedge's
@@ -543,7 +546,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
 def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
                min_shared: int = 2,
-               max_fanout: int | None = None) -> DataFrame:
+               max_fanout: int | None = 10_000) -> DataFrame:
     """Co-citation similarity over the directed edge list (Dean &
     Henzinger's related-pages measure, host-level): two destinations are
     similar when many distinct sources link to BOTH. Returns
@@ -556,15 +559,22 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Plan: one distinct projection, one self-equi-join on the SOURCE key
     (pairs of co-cited destinations), map-side-combined pair count, then
-    a node-sized broadcast join for the in-degrees. The self-join is
-    quadratic per source: a directory page linking k hosts emits
-    k·(k−1)/2 pairs, so a 10^5-outlink hub alone is 5·10^9 rows.
-    ``max_fanout`` is the guard (same role as lsh_dup_pairs'
-    ``max_bucket``): sources whose DISTINCT destination count exceeds it
-    are dropped from pairing entirely — the standard cap, and honest
-    semantics for co-citation, where a link from an everything-directory
-    carries no signal. Default None (exact; the q62 oracle restates the
-    capped form so both paths are driver-verified)."""
+    in-degree equi-joins with NO forced broadcast hint (node-sized is
+    not small at webgraph scale; AQE broadcasts only when the table
+    fits). The self-join is quadratic per source: a directory page
+    linking k hosts emits k·(k−1)/2 pairs, so a 10^5-outlink hub alone
+    is 5·10^9 rows. ``max_fanout`` is the guard (same role as
+    lsh_dup_pairs' ``max_bucket``): sources whose DISTINCT destination
+    count exceeds it are dropped from pairing entirely — the standard
+    cap, and honest semantics for co-citation, where a link from an
+    everything-directory carries no signal. The default is FINITE
+    (10_000 — a 10^4-fanout source already contributes 5·10^7 pairs of
+    pure directory noise; real co-citation signal lives far below it)
+    so no caller inherits the quadratic blowup by accident; pass
+    ``max_fanout=None`` explicitly for the exact uncapped form. The cap
+    only ever REMOVES pairs sourced from above-cap pages, so on corpora
+    where every source's fanout is below it (e.g. q62's) capped ==
+    uncapped, and the q62 oracle restates the capped form."""
     from quickner_spark.operators.caching import track
 
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -588,10 +598,10 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
     # fan-out, not the definition of a node's citation count
     ind = e.groupBy("t").agg(F.count("*").alias("ind"))
     out = (pairs
-           .join(F.broadcast(ind.select(F.col("t").alias("a"),
-                                        F.col("ind").alias("in_a"))), "a")
-           .join(F.broadcast(ind.select(F.col("t").alias("b"),
-                                        F.col("ind").alias("in_b"))), "b")
+           .join(ind.select(F.col("t").alias("a"),
+                            F.col("ind").alias("in_a")), "a")
+           .join(ind.select(F.col("t").alias("b"),
+                            F.col("ind").alias("in_b")), "b")
            .select("a", "b", "shared", "in_a", "in_b"))
     return track(out, e)
 

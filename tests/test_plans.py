@@ -21,7 +21,9 @@ def _fresh_cache(spark):
     # Plan-shape assertions inspect the FileScan; a .cache()'d DataFrame
     # left behind by another module's fixture would make the CacheManager
     # substitute its full-schema InMemoryRelation into these plans and
-    # hide the pruning under test.
+    # hide the pruning under test. The __spark_entry__ memo holds such
+    # cached intermediates, so drop it too (its next build re-caches).
+    E.clear_memo()
     spark.catalog.clearCache()
     yield
 
@@ -347,11 +349,13 @@ def test_plan_frontier_windows_keyed_and_delays_join(spark):
             assert "host" in line, line
 
 
-def test_triangle_count_no_cartesian_and_broadcast_degrees(spark):
+def test_triangle_count_no_cartesian_and_adaptive_degrees(spark):
     """triangle_count: wedge build and closing are equi-joins (a
-    cartesian/nested-loop anywhere means the orientation join broke)
-    and the node-sized degree lookups reach the oriented edges via
-    broadcast, never a shuffled join against the edge set."""
+    cartesian/nested-loop anywhere means the orientation join broke).
+    The node-sized degree lookups carry NO forced broadcast hint — at
+    toy scale AQE still picks a broadcast join because the table fits
+    its threshold, which this asserts; the too-big-to-broadcast side is
+    covered by test_triangle_count_degrades_past_broadcast_threshold."""
     from quickner_spark.operators.graph import triangle_count
 
     edges = E.q28_kg_edges(spark, SF).select("src", "dst")
@@ -361,10 +365,59 @@ def test_triangle_count_no_cartesian_and_broadcast_degrees(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _no_broadcast(spark):
+    """Context: both broadcast thresholds off — simulates a degree/
+    in-degree table too large to broadcast (10^8-host webgraph)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        keys = ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    return cm()
+
+
+def test_triangle_count_degrades_past_broadcast_threshold(spark):
+    """round-4 verdict item 3: with broadcast disabled (the node table
+    exceeds every threshold) the degree joins must degrade to shuffle
+    joins — not OOM on a forced hint — and the counts must not move."""
+    from quickner_spark.operators.graph import triangle_count
+
+    # materialize the KG edges into a fresh local DataFrame so the plan
+    # under inspection contains ONLY triangle_count's own joins (q28's
+    # upstream carries intentional gazetteer broadcasts)
+    rows = [(r["src"], r["dst"]) for r in
+            E.q28_kg_edges(spark, SF).select("src", "dst").collect()]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    base = {(r["node"], r["triangles"])
+            for r in triangle_count(edges).collect()}
+    # drop the base run's cached intermediates: their InMemoryRelations
+    # were planned with broadcast ON and would be substituted verbatim
+    spark.catalog.clearCache()
+    with _no_broadcast(spark):
+        df = triangle_count(edges)
+        got = {(r["node"], r["triangles"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert got == base
+
+
 def test_cocitation_source_keyed_join_partial_counts(spark):
     """cocitation: the pair expansion equi-joins on the source key and
     the pair count runs a map-side partial aggregate before its
-    exchange; in-degree joins broadcast the node-sized side."""
+    exchange; the in-degree joins carry no forced broadcast hint."""
     from quickner_spark.operators.graph import cocitation
 
     edges = E.q28_kg_edges(spark, SF).select("src", "dst")
@@ -372,6 +425,25 @@ def test_cocitation_source_keyed_join_partial_counts(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_cocitation_degrades_past_broadcast_threshold(spark):
+    """round-4 verdict item 3, cocitation side: broadcast disabled ->
+    shuffle joins, identical pairs."""
+    from quickner_spark.operators.graph import cocitation
+
+    rows = [(r["src"], r["dst"]) for r in
+            E.q28_kg_edges(spark, SF).select("src", "dst").collect()]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    base = {tuple(r) for r in cocitation(edges, min_shared=1).collect()}
+    spark.catalog.clearCache()
+    with _no_broadcast(spark):
+        df = cocitation(edges, min_shared=1)
+        got = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert got == base
 
 
 def test_label_propagation_combinable_argmax_no_window(spark):

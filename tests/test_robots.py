@@ -130,6 +130,33 @@ def test_crawl_delays_min_across_governing_groups(spark):
     assert {(r["host"], r["delay_s"]) for r in got} == {("h.org", 1.0)}
 
 
+def test_group_boundaries_span_all_directive_kinds(spark):
+    """Round-4 advice regression: group boundaries are computed over the
+    FULL directive sequence, not the pass-filtered one. A Crawl-delay
+    line between two User-agent lines still separates their groups in
+    the rules pass, and Allow/Disallow lines still separate groups in
+    the delays pass."""
+    from quickner_spark.kg.robots import crawl_delays
+
+    # rules pass: before the fix the Crawl-delay line was invisible, the
+    # * and ahrefsbot UA lines fused into one group, and EVERY agent
+    # inherited 'Disallow: /'
+    body = ("User-agent: *\nCrawl-delay: 10\n"
+            "User-agent: ahrefsbot\nDisallow: /")
+    assert _rules(spark, body=body) == set()          # * group: no rules
+    assert _rules(spark, body=body, agent="ahrefsbot") == \
+        {("disallow", "/")}
+    # delays pass: before the fix the Disallow line was invisible, the
+    # two groups fused, and megabot's 30 leaked to the * caller
+    body2 = ("User-agent: *\nDisallow: /x\n"
+             "User-agent: megabot\nCrawl-delay: 30")
+    df = spark.createDataFrame([Row(host="h.org", body=body2)])
+    assert crawl_delays(df).collect() == []           # * group: no delay
+    assert {(r["host"], r["delay_s"])
+            for r in crawl_delays(df, agent="megabot").collect()} == \
+        {("h.org", 30.0)}
+
+
 def test_robots_sitemaps_global_scan(spark):
     from quickner_spark.kg.robots import robots_sitemaps
 
