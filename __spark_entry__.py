@@ -2540,6 +2540,13 @@ payloads AS (
 )
 SELECT 'WARC/1.0' || e'\\r\\n'
     || 'WARC-Type: metadata' || e'\\r\\n'
+    || 'WARC-Record-ID: <urn:uuid:'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 1, 8) || '-'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 9, 4) || '-5'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 14, 3) || '-a'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 18, 3) || '-'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 21, 12)
+    || '>' || e'\\r\\n'
     || 'WARC-Target-URI: ' || url || e'\\r\\n'
     || 'WARC-Date: ' || ts || e'\\r\\n'
     || 'Content-Type: application/json' || e'\\r\\n'
@@ -2788,6 +2795,13 @@ WITH wpages AS (
 )
 SELECT 'WARC/1.0' || e'\\r\\n'
     || 'WARC-Type: conversion' || e'\\r\\n'
+    || 'WARC-Record-ID: <urn:uuid:'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 1, 8) || '-'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 9, 4) || '-5'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 14, 3) || '-a'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 18, 3) || '-'
+    || substr(md5('warc-record-id:' || url || ':' || ts), 21, 12)
+    || '>' || e'\\r\\n'
     || 'WARC-Target-URI: ' || url || e'\\r\\n'
     || 'WARC-Date: ' || ts || e'\\r\\n'
     || 'Content-Type: text/plain' || e'\\r\\n'

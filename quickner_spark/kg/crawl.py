@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from quickner_spark.kg.robots import plan_frontier
 from quickner_spark.kg.weblinks import (extract_links, host_of,
-                                        normalize_url, resolve_href)
+                                        normalize_url, resolve_href_full)
 
 __all__ = ["crawl", "CrawlResult", "discovered_urls"]
 
@@ -47,10 +47,13 @@ __all__ = ["crawl", "CrawlResult", "discovered_urls"]
 def discovered_urls(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(url) — absolute http(s) URLs discovered in fetched pages:
-    anchor hrefs resolved against the page url (host-root rule, same
-    as the host graph). One regexp scan + explode; zero shuffle."""
+    anchor hrefs resolved against the page url with the RFC 3986 §5.2
+    directory-relative resolver (``page2.html`` on ``/dir/index.html``
+    fetches ``/dir/page2.html`` — the host-root shortcut that is fine
+    for the host graph would 404 here). One regexp scan + explode;
+    zero shuffle."""
     links = extract_links(pages, url_col=url_col, html_col=html_col)
-    absu = resolve_href(F.col(url_col), F.col("href"))
+    absu = resolve_href_full(F.col(url_col), F.col("href"))
     return (links.select(absu.alias("url"))
             .where(F.col("url").rlike("^https?://")
                    & (host_of(F.col("url")) != "")))
@@ -61,9 +64,11 @@ class CrawlResult:
     """Outcome of :func:`crawl`: every fetched page tagged with its
     round, the per-round frontier sizes, and the final seen table."""
     pages: DataFrame            # fetcher columns + crawl_round
-    # (url_norm,) — every canonical key ever ENQUEUED (seeds + all
-    # discovered candidates, fetched or not): robots-disallowed urls
-    # stay recorded so they never bounce back into later frontiers
+    # (url_norm,) — every canonical key ever DECIDED: planned-for-fetch
+    # urls and robots-disallowed urls. Disallowed urls stay recorded so
+    # they never bounce back into later frontiers; urls dropped by a
+    # per-host BUDGET are deliberately absent — deferred, not dead, so
+    # a later round's discovery re-surfaces them (see crawl docstring)
     seen: DataFrame
     frontier_sizes: list[int] = field(default_factory=list)
     fetched_counts: list[int] = field(default_factory=list)
@@ -91,22 +96,22 @@ def crawl(seeds: DataFrame,
     :func:`~quickner_spark.kg.weblinks.normalize_url` + distinct +
     anti-join against the seen table yields the next frontier. The
     loop stops early when a frontier is empty. Budget ranks beyond the
-    cap are DROPPED, not deferred (the sitemaps.org/crawl convention:
-    next round's fresh discovery re-surfaces anything still linked).
+    cap are DEFERRED, not dead: they are dropped from this round's plan
+    AND left out of the seen table, so the next round's fresh discovery
+    re-surfaces anything still linked (the sitemaps.org/crawl
+    convention). Robots-DISALLOWED urls by contrast enter seen — their
+    verdict is permanent and they must never bounce back.
 
     Determinism: every step is deterministic given the fetcher, so two
     runs produce identical page sets (test-pinned). The per-round
     count() actions double as the lineage barrier points."""
     spark = seeds.sparkSession
     # seen is kept as a UNION of per-round checkpointed deltas: each
-    # round materializes only its OWN increment (one localCheckpoint of
-    # the fresh rows serves both the seen delta and the next frontier),
-    # never rewriting the accumulated table — at crawl-db scale the
-    # seen side is the dominant state and rewriting it per round is
-    # O(rounds · |seen|) wasted I/O.
-    seen_parts = [seeds.select(normalize_url(F.col(url_col))
-                               .alias("url_norm"))
-                  .distinct().localCheckpoint()]
+    # round materializes only its OWN increment, never rewriting the
+    # accumulated table — at crawl-db scale the seen side is the
+    # dominant state and rewriting it per round is O(rounds · |seen|)
+    # wasted I/O.
+    seen_parts: list[DataFrame] = []
     frontier = seeds.select(F.col(url_col).alias("url")).distinct()
     n = frontier.count()
     all_pages: DataFrame | None = None
@@ -117,10 +122,20 @@ def crawl(seeds: DataFrame,
         sizes.append(n)
         if n == 0:
             break
-        plan = plan_frontier(frontier, rules, delays,
-                             priority_col=priority_col,
-                             budget_per_host=budget_per_host,
-                             host_budget=host_budget)
+        # the flagged full-frontier decision: one politeness window,
+        # reused for the fetch plan AND the seen delta
+        dec = plan_frontier(frontier, rules, delays,
+                            priority_col=priority_col,
+                            budget_per_host=budget_per_host,
+                            host_budget=host_budget,
+                            keep_dropped=True).cache()
+        plan = dec.where(F.col("planned")).drop("allowed", "planned")
+        # seen delta: planned urls + robots-disallowed urls. Allowed-
+        # but-over-budget urls stay OUT — that is the deferral.
+        delta = (dec.where(F.col("planned") | ~F.col("allowed"))
+                 .select(normalize_url(F.col("url")).alias("url_norm"))
+                 .distinct().localCheckpoint())
+        seen_parts.append(delta)
         pages = fetcher(plan).withColumn("crawl_round", F.lit(rnd))
         # COLUMNAR cache, not localCheckpoint: the checkpoint RDD stores
         # row objects and rescans ~10x slower than the vectorized
@@ -130,14 +145,15 @@ def crawl(seeds: DataFrame,
         # call ``caching.release(result.pages)`` when done.
         pages = pages.cache()
         fetched.append(pages.count())
+        dec.unpersist()  # both consumers (plan, delta) are materialized
         page_parts.append(pages)
         all_pages = pages if all_pages is None else all_pages.union(pages)
         if rnd == rounds - 1:
             # the final round's discoveries can never be fetched —
             # skip the link scan + anti-join entirely (on a BFS whose
             # last level dominates, that pass is a large fraction of
-            # total work). seen keeps its ENQUEUED-keys contract: these
-            # urls were never enqueued.
+            # total work). seen keeps its DECIDED-keys contract: no
+            # verdict was ever issued for these urls.
             break
         seen = seen_parts[0]
         for part in seen_parts[1:]:
@@ -150,14 +166,16 @@ def crawl(seeds: DataFrame,
                 .groupBy("url_norm").agg(F.min("url").alias("url")))
         fresh = cand.join(seen, "url_norm", "left_anti").localCheckpoint()
         n = fresh.count()
-        seen_parts.append(fresh.select("url_norm"))
         frontier = fresh.select("url")
     if all_pages is None:
         all_pages = spark.createDataFrame([], "url string, html binary, "
                                           "crawl_round int")
-    seen = seen_parts[0]
-    for part in seen_parts[1:]:
-        seen = seen.union(part)
+    if seen_parts:
+        seen = seen_parts[0]
+        for part in seen_parts[1:]:
+            seen = seen.union(part)
+    else:
+        seen = spark.createDataFrame([], "url_norm string")
     from quickner_spark.operators.caching import track
 
     return CrawlResult(pages=track(all_pages, *page_parts), seen=seen,

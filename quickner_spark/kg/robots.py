@@ -212,19 +212,35 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
       fetch. Delay comes from ``delays`` (:func:`crawl_delays` output,
       host-keyed) with ``default_delay`` for hosts that set none.
 
+    * ``keep_dropped=True`` returns the WHOLE frontier instead of just
+      the fetchable slice, flagged with two booleans: ``allowed``
+      (robots verdict) and ``planned`` (allowed AND within budget).
+      ``fetch_rank``/``fetch_offset_s`` are null on rows that are not
+      allowed / not planned. :func:`quickner_spark.kg.crawl.crawl` uses
+      this to record robots-disallowed urls as permanently seen while
+      leaving budget-deferred urls eligible to re-surface — the two
+      drop reasons have opposite revisit semantics. The allowed rows'
+      ranks equal the default path's (disallowed rows order after every
+      allowed row of their host), so ``keep_dropped=True`` filtered to
+      ``planned`` is row-identical to the default output.
+
     Scale notes: the ranking window partitions by host — the frontier
     shuffles once on host and each host ranks independently; a
     degenerate hot host serializes through one task (see module
     docstring). The delays join is |hosts|-bounded."""
-    allowed = (frontier_allowed(urls, rules, url_col)
-               .where(F.col("allowed")).drop("allowed"))
     from quickner_spark.kg.weblinks import host_of
 
-    a = allowed.withColumn("host", host_of(F.col(url_col)))
+    a = frontier_allowed(urls, rules, url_col)
+    if not keep_dropped:
+        a = a.where(F.col("allowed")).drop("allowed")
+    a = a.withColumn("host", host_of(F.col(url_col)))
     order = ([F.col(priority_col).desc()] if priority_col else []) \
         + [F.col(url_col)]
+    if keep_dropped:
+        order = [F.col("allowed").desc()] + order
     w = Window.partitionBy("host").orderBy(*order)
     a = a.withColumn("fetch_rank", F.row_number().over(w))
+    cap = None
     if host_budget is not None:
         c0, c1 = host_budget.columns[:2]
         hb = host_budget.select(F.col(c0).alias("host"),
@@ -232,21 +248,33 @@ def plan_frontier(urls: DataFrame, rules: DataFrame,
         default_cap = (F.lit(int(budget_per_host))
                        if budget_per_host is not None
                        else F.lit(None).cast("int"))
+        a = a.join(F.broadcast(hb), "host", "left")
         cap = F.coalesce(F.col("__hb"), default_cap)
-        a = (a.join(F.broadcast(hb), "host", "left")
-             .where(cap.isNull() | (F.col("fetch_rank") <= cap))
-             .drop("__hb"))
     elif budget_per_host is not None:
-        a = a.where(F.col("fetch_rank") <= budget_per_host)
+        cap = F.lit(int(budget_per_host))
+    within = (F.lit(True) if cap is None
+              else cap.isNull() | (F.col("fetch_rank") <= cap))
+    if keep_dropped:
+        a = a.withColumn("planned", F.col("allowed") & within)
+    elif cap is not None:
+        a = a.where(within)
+    if host_budget is not None:
+        a = a.drop("__hb")
     if delays is not None:
         a = a.join(delays, "host", "left")
         delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay)))
     else:
         delay = F.lit(float(default_delay))
-    return (a.withColumn(
+    a = (a.withColumn(
         "fetch_offset_s",
         (F.col("fetch_rank") - F.lit(1)).cast("double") * delay)
         .drop("delay_s"))
+    if keep_dropped:
+        a = (a.withColumn("fetch_rank",
+                          F.when(F.col("allowed"), F.col("fetch_rank")))
+             .withColumn("fetch_offset_s",
+                         F.when(F.col("planned"), F.col("fetch_offset_s"))))
+    return a
 
 
 def allocate_budget(host_rank: DataFrame, total_budget: int,

@@ -28,10 +28,13 @@ DuckDB oracle so they are cross-engine pinned):
 * fragments are stripped before resolution (``page#sec`` == ``page``).
 * scheme-relative ``//host/p`` adopts the page's scheme; absolute paths
   ``/p`` adopt the page's authority; anything with a scheme stands as-is.
-* RELATIVE PATHS RESOLVE AGAINST THE HOST ROOT, not the page's directory
-  (no RFC 3986 dot-segment merge). The HOST-level graph — this module's
-  output — is invariant to that simplification: either resolution lands
-  on the same host.
+* :func:`resolve_href` (host-graph resolver): RELATIVE PATHS RESOLVE
+  AGAINST THE HOST ROOT, not the page's directory (no RFC 3986
+  dot-segment merge). The HOST-level graph — this module's output — is
+  invariant to that simplification: either resolution lands on the same
+  host. Consumers whose resolved urls become FETCH TARGETS (the crawl
+  frontier) must use :func:`resolve_href_full`, the RFC 3986 §5.2
+  directory-relative resolver, where a wrong path is a 404.
 * non-hierarchical schemes (``mailto:``, ``javascript:``) resolve to
   themselves, yield an empty host, and are dropped by :func:`host_graph`.
 * IPv6 literal authorities and userinfo are not parsed (rare in crawl
@@ -44,7 +47,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["extract_links", "extract_anchors", "extract_sitemap_urls",
-           "resolve_href", "host_of", "host_graph", "anchor_dictionary",
+           "resolve_href", "resolve_href_full", "host_of", "host_graph",
+           "anchor_dictionary",
            "aliases_from_anchors", "domain_of", "psl_domains",
            "domain_graph", "normalize_url", "surt_key", "TRACKING_PARAMS"]
 
@@ -180,6 +184,82 @@ def resolve_href(url: Column, href: Column) -> Column:
              .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
              .when(h.startswith("/"), F.concat(base, h))
              .otherwise(F.concat(base, F.lit("/"), h)))
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path (leading ``/``): ``.`` and
+    ``..`` segments interpreted, excess ``..`` above the root dropped,
+    the trailing-slash convention kept (``/a/b/..`` → ``/a/``). A
+    split + one array fold — JVM-side higher-order functions, no UDF.
+    The fold's stack is bounded by the path's segment count (dozens),
+    not by any data-set dimension."""
+    segs = F.split(path, "/")  # leading "/" -> segs[0] == "" (the root)
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: (
+            F.when(x == ".", acc)
+            .when(x == "..",
+                  # pop, but never the root marker (excess '..' is a
+                  # no-op at the root, per the RFC)
+                  F.when(F.size(acc) > 1,
+                         F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc))
+            .otherwise(F.concat(acc, F.array(x)))))
+    joined = F.array_join(stack, "/")
+    # '.'/'..' as the LAST segment leave a directory: restore the
+    # trailing slash the pop consumed ('/a/b/..' -> '/a/')
+    last = F.element_at(segs, -1)
+    out = F.when(last.isin(".", ".."),
+                 F.concat(joined, F.lit("/"))).otherwise(joined)
+    return F.when(out == "", F.lit("/")).otherwise(out)
+
+
+def resolve_href_full(url: Column, href: Column) -> Column:
+    """Crawl-grade absolute form of ``href`` found on page ``url``:
+    RFC 3986 §5.2 merge semantics — directory-relative references
+    resolve against the PAGE's directory (``page2.html`` on
+    ``/dir/index.html`` → ``/dir/page2.html``) and dot segments are
+    interpreted exactly (§5.2.4).
+
+    :func:`resolve_href` (host-root rule) stays the host-graph
+    resolver — the host-level output is invariant to the simplification
+    and the cheap regexp form wins there. THIS resolver is for
+    consumers where the resolved url becomes a fetch target
+    (:func:`quickner_spark.kg.crawl.discovered_urls`): a wrong path is
+    a 404, not a no-op. Still all Column work (regexps + one array fold
+    per href, whole-stage codegen) — no Python in the data path.
+
+    Handled per the RFC: scheme-qualified hrefs stand as-is;
+    ``//authority/p`` adopts the page scheme; ``/p`` is root-absolute;
+    ``?q`` replaces the page's query; the empty href is the page itself
+    (sans fragment); anything else merges with the page directory.
+    href queries pass through unsplit (a ``/`` inside a query is query
+    text, not a segment). Userinfo/IPv6 parsing follows the module-wide
+    simplification."""
+    h = F.substring_index(href, "#", 1)  # fragment never reaches the wire
+    scheme = F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.regexp_extract(
+        url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    base = F.concat(scheme, F.lit("://"), authority)
+    # page path sans query/fragment; '' (no path at all) acts as '/'
+    ppath = F.substring_index(F.substring_index(F.regexp_replace(
+        url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#", 1), "?", 1)
+    ppath = F.when(ppath == "", F.lit("/")).otherwise(ppath)
+    pdir = F.regexp_replace(ppath, "[^/]*$", "")  # up to the last '/'
+    # split the href into its path and query parts; the query is carried
+    # through resolution verbatim
+    hq = F.regexp_extract(h, "(\\?.*)$", 1)
+    hp = F.substring_index(h, "?", 1)
+    abs_path = _remove_dot_segments(hp)
+    rel_path = _remove_dot_segments(F.concat(pdir, hp))
+    return (F.when(h.rlike(_SCHEME_RE), h)
+             .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+             .when(hp.startswith("/"),
+                   F.concat(base, abs_path, hq))
+             .when(h == "", F.concat(base, ppath))
+             .when(hp == "",  # '?q' — keep the page path, swap the query
+                   F.concat(base, ppath, hq))
+             .otherwise(F.concat(base, rel_path, hq)))
 
 
 def host_of(url: Column) -> Column:

@@ -335,6 +335,24 @@ def ntriples_lines(edges: DataFrame, base_iri: str = "http://example.org/kg/",
     return edges.select(*keep_cols, line.alias("value"))
 
 
+def _warc_record_id(url: Column, ts: Column) -> Column:
+    """Deterministic ``WARC-Record-ID`` for an exported record:
+    ``urn:uuid:`` + a name-based UUID derived from md5(url, date) with
+    the version/variant nibbles pinned (RFC 4122 v5-shaped). ISO 28500
+    makes the header mandatory on EVERY record; a content-derived id is
+    deterministic across runs/engines (re-exports are idempotent,
+    oracles replayable) where a random v4 would not be. md5 is in both
+    engines' built-ins — same portability choice as the cdxj digest
+    twin."""
+    h = F.md5(F.concat(F.lit("warc-record-id:"), url, F.lit(":"), ts))
+    return F.concat(
+        F.lit("urn:uuid:"), F.substring(h, 1, 8),
+        F.lit("-"), F.substring(h, 9, 4),
+        F.lit("-5"), F.substring(h, 14, 3),
+        F.lit("-a"), F.substring(h, 18, 3),
+        F.lit("-"), F.substring(h, 21, 12))
+
+
 def wet_lines(pages: DataFrame, url_col: str = "url",
               text_col: str = "text",
               ts_col: str | None = "warc_ts") -> DataFrame:
@@ -344,22 +362,33 @@ def wet_lines(pages: DataFrame, url_col: str = "url",
     ``.write.text`` + gzip lands ``.warc.wet``-shaped output ready for
     any CC-consuming pipeline.
 
-    Record layout (WARC/1.0, ISO 28500 §4): version line, Type/Target-
-    URI/Date/Content-Type headers, Content-Length in BYTES of the UTF-8
-    text (``octet_length``, not character count), blank line, payload,
-    trailing blank lines. All one JVM concat — no Python. A timestamp
-    ``ts_col`` formats as ISO-8601 in the SESSION timezone (set
-    ``spark.sql.session.timeZone=UTC`` for spec-conformant output); a
-    string column passes through verbatim; ``None`` omits WARC-Date.
-    Pages whose text is NULL (dropped by the extractor) are skipped."""
+    Record layout (WARC/1.0, ISO 28500 §4): version line, Type/Record-
+    ID/Target-URI/Date/Content-Type headers, Content-Length in BYTES of
+    the UTF-8 text (``octet_length``, not character count), blank line,
+    payload, trailing blank lines. All one JVM concat — no Python.
+    ``WARC-Record-ID`` is the deterministic content-derived urn:uuid of
+    :func:`_warc_record_id`. A timestamp ``ts_col`` formats as ISO-8601
+    in the SESSION timezone (set ``spark.sql.session.timeZone=UTC`` for
+    spec-conformant output); a string column passes through verbatim.
+
+    Conformance gaps, documented: ``ts_col=None`` omits WARC-Date, which
+    ISO 28500 also makes mandatory — strict readers reject such records,
+    so pass a real capture timestamp for conforming output (fabricating
+    one engine-side would be worse than the gap). WARC-Block-Digest is
+    optional and not emitted. Pages whose text is NULL (dropped by the
+    extractor) are skipped."""
     txt = F.col(text_col)
-    parts = [F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
-                   "WARC-Target-URI: "), F.col(url_col)]
+    ts_str: Column = F.lit("")
     if ts_col is not None:
-        ts: Column = F.col(ts_col)
+        ts_str = F.col(ts_col)
         if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
-            ts = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        parts += [F.lit("\r\nWARC-Date: "), ts]
+            ts_str = F.date_format(ts_str, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parts = [F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+                   "WARC-Record-ID: <"),
+             _warc_record_id(F.col(url_col), ts_str),
+             F.lit(">\r\nWARC-Target-URI: "), F.col(url_col)]
+    if ts_col is not None:
+        parts += [F.lit("\r\nWARC-Date: "), ts_str]
     parts += [F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
               F.octet_length(txt).cast("string"),
               F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n")]
@@ -444,7 +473,10 @@ def wat_lines(pages: DataFrame, url_col: str = "url",
     an IN-ROW ``regexp_extract_all`` array, so the record needs no join
     or shuffle against the exploded links table. Every string is RFC
     8259-escaped JVM-side; record framing matches ``wet_lines``
-    (Content-Type: application/json, Content-Length in UTF-8 bytes).
+    (Content-Type: application/json, Content-Length in UTF-8 bytes,
+    deterministic ``WARC-Record-ID`` via :func:`_warc_record_id`, and
+    the same documented WARC-Date conformance gap when ``ts_col`` is
+    None).
     One decoded scan pass + one concat per page; no Python."""
     from quickner_spark.kg.pagemeta import (canonical_of, robots_of,
                                             title_of)
@@ -459,13 +491,17 @@ def wat_lines(pages: DataFrame, url_col: str = "url",
         F.lit(',"canonical":'), _json_str(canonical_of(html)),
         F.lit(',"links":['),
         F.concat_ws(",", F.transform(links, _json_str)), F.lit("]}"))
-    parts = [F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
-                   "WARC-Target-URI: "), F.col(url_col)]
+    ts_str: Column = F.lit("")
     if ts_col is not None:
-        ts: Column = F.col(ts_col)
+        ts_str = F.col(ts_col)
         if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
-            ts = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        parts += [F.lit("\r\nWARC-Date: "), ts]
+            ts_str = F.date_format(ts_str, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parts = [F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                   "WARC-Record-ID: <"),
+             _warc_record_id(F.col(url_col), ts_str),
+             F.lit(">\r\nWARC-Target-URI: "), F.col(url_col)]
+    if ts_col is not None:
+        parts += [F.lit("\r\nWARC-Date: "), ts_str]
     parts += [F.lit("\r\nContent-Type: application/json\r\n"
                     "Content-Length: "),
               F.octet_length(payload).cast("string"),

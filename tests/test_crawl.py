@@ -107,6 +107,68 @@ def test_crawl_budget_caps_per_host(spark):
     assert r1 == ["https://h.org/k/0", "https://h.org/k/1"]
 
 
+def test_budget_dropped_urls_defer_and_resurface(spark):
+    """Round-4 advice regression: a url dropped by the per-host budget
+    is DEFERRED — left out of seen — so a later round's discovery
+    re-surfaces it. (Before the fix it entered seen at discovery time
+    and was permanently unfetchable.) Robots-disallowed urls keep the
+    opposite, permanent-verdict semantics."""
+    def page(links):
+        return ("<html><body>" +
+                "".join(f'<a href="{h}">x</a>' for h in links) +
+                "</body></html>").encode()
+
+    # seed → a,b,c (budget 2 plans a,b; c deferred); a re-links c
+    web = spark.createDataFrame([
+        Row(url="https://h.org/seed",
+            html=bytearray(page(["/a", "/b", "/c"]))),
+        Row(url="https://h.org/a", html=bytearray(page(["/c"]))),
+        Row(url="https://h.org/b", html=bytearray(page([]))),
+        Row(url="https://h.org/c", html=bytearray(page([]))),
+    ])
+    rules = robots_rules(spark.createDataFrame(
+        [Row(host="h.org", body="User-agent: *\nAllow: /")]))
+    res = crawl(spark.createDataFrame([Row(url="https://h.org/seed")]),
+                _fetcher(web), rules, rounds=3, budget_per_host=2)
+    got = {(r["url"], r["crawl_round"]) for r in res.pages.collect()}
+    assert got == {
+        ("https://h.org/seed", 0),
+        ("https://h.org/a", 1), ("https://h.org/b", 1),
+        ("https://h.org/c", 2),   # deferred in round 1, re-surfaced by a
+    }
+    seen = {r["url_norm"] for r in res.seen.collect()}
+    # every decided url is seen; nothing extra
+    assert seen == {"https://h.org/seed", "https://h.org/a",
+                    "https://h.org/b", "https://h.org/c"}
+
+
+def test_plan_frontier_keep_dropped_flags(spark):
+    """keep_dropped=True returns the whole frontier flagged; filtered to
+    planned it is row-identical to the default output."""
+    from quickner_spark.kg.robots import plan_frontier
+
+    rules = robots_rules(spark.createDataFrame(
+        [Row(host="h.org", body="User-agent: *\nDisallow: /private/")]))
+    urls = spark.createDataFrame(
+        [Row(url=f"https://h.org/p{i}") for i in range(4)]
+        + [Row(url="https://h.org/private/x")])
+    dec = plan_frontier(urls, rules, budget_per_host=2, keep_dropped=True)
+    rows = {r["url"]: (r["allowed"], r["planned"], r["fetch_rank"],
+                       r["fetch_offset_s"]) for r in dec.collect()}
+    assert rows["https://h.org/p0"] == (True, True, 1, 0.0)
+    assert rows["https://h.org/p1"] == (True, True, 2, 1.0)
+    # over-budget: allowed, ranked, not planned, no offset
+    assert rows["https://h.org/p2"] == (True, False, 3, None)
+    assert rows["https://h.org/p3"] == (True, False, 4, None)
+    # disallowed: no rank at all
+    assert rows["https://h.org/private/x"] == (False, False, None, None)
+    default = plan_frontier(urls, rules, budget_per_host=2)
+    flagged = dec.where(F.col("planned")).drop("allowed", "planned") \
+                 .select(*default.columns)
+    assert sorted(map(tuple, default.collect())) == \
+        sorted(map(tuple, flagged.collect()))
+
+
 def test_discovered_urls_filters_nonhierarchical(spark):
     html = (b'<html><a href="mailto:x@y.z">m</a>'
             b'<a href="javascript:void(0)">j</a>'

@@ -265,6 +265,15 @@ def test_ntriples_lines_on_triples_table(spark):
     assert row["value"] == "<urn:kg/e/s> <urn:kg/p/p> <urn:kg/e/o> ."
 
 
+def _rid(url: str, ts: str) -> str:
+    """Reference restatement of formats._warc_record_id."""
+    import hashlib
+
+    h = hashlib.md5(f"warc-record-id:{url}:{ts}".encode()).hexdigest()
+    return (f"urn:uuid:{h[0:8]}-{h[8:12]}-5{h[13:16]}"
+            f"-a{h[17:20]}-{h[20:32]}")
+
+
 def test_wet_lines_byte_exact(spark):
     from pyspark.sql import Row
 
@@ -277,9 +286,11 @@ def test_wet_lines_byte_exact(spark):
             text=None),                       # extractor-dropped
     ])
     got = [r["value"] for r in wet_lines(df).collect()]
+    rid = _rid("https://h.org/p", "2025-03-01T08:00:00Z")
     assert got == [
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <{rid}>\r\n"
         "WARC-Target-URI: https://h.org/p\r\n"
         "WARC-Date: 2025-03-01T08:00:00Z\r\n"
         "Content-Type: text/plain\r\n"
@@ -287,9 +298,15 @@ def test_wet_lines_byte_exact(spark):
         "\r\n"
         "héllo\r\n\r\n"
     ]
-    # ts_col=None omits WARC-Date
+    # the id is deterministic: same page, same id, run over run
+    got2 = [r["value"] for r in wet_lines(df).collect()]
+    assert got2 == got
+    # ts_col=None omits WARC-Date (documented conformance gap) but the
+    # mandatory Record-ID is still present
     (row,) = wet_lines(df.limit(1), ts_col=None).collect()
     assert "WARC-Date" not in row["value"]
+    assert f"WARC-Record-ID: <{_rid('https://h.org/p', '')}>" \
+        in row["value"]
 
 
 def test_wet_lines_timestamp_formatting(spark):
@@ -400,8 +417,10 @@ def test_wat_lines_byte_exact_and_json_parses(spark):
         html=bytearray(html.encode()))])
     (row,) = wat_lines(df).collect()
     head, _, payload = row["value"].partition("\r\n\r\n")
+    rid = _rid("https://h.org/p", "2025-03-01T08:00:00Z")
     assert head.startswith(
         "WARC/1.0\r\nWARC-Type: metadata\r\n"
+        f"WARC-Record-ID: <{rid}>\r\n"
         "WARC-Target-URI: https://h.org/p\r\n"
         "WARC-Date: 2025-03-01T08:00:00Z\r\n"
         "Content-Type: application/json\r\n"

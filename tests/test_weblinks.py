@@ -41,6 +41,56 @@ def test_resolve_href_branches(spark):
         "https://www.Example.com:8080/"
 
 
+def _resolve_full(spark, url: str, href: str) -> str:
+    from quickner_spark.kg.weblinks import resolve_href_full
+
+    df = spark.createDataFrame([Row(url=url, href=href)])
+    return df.select(
+        resolve_href_full(F.col("url"), F.col("href")).alias("r"))\
+        .head()["r"]
+
+
+def test_resolve_href_full_rfc3986(spark):
+    """The crawl-grade resolver: directory-relative merge + exact
+    dot-segment removal (RFC 3986 §5.2), round-4 advice item."""
+    page = "https://h.org/dir/sub/index.html?page=1"
+    cases = {
+        # the advice's motivating case: directory-relative
+        "page2.html": "https://h.org/dir/sub/page2.html",
+        "img/x.png": "https://h.org/dir/sub/img/x.png",
+        # dot segments
+        "../up.html": "https://h.org/dir/up.html",
+        "../../top.html": "https://h.org/top.html",
+        "../../../over.html": "https://h.org/over.html",  # clamped at root
+        "./here.html": "https://h.org/dir/sub/here.html",
+        "..": "https://h.org/dir/",
+        ".": "https://h.org/dir/sub/",
+        # absolute forms unchanged vs resolve_href
+        "/root.html": "https://h.org/root.html",
+        "/a/b/../c": "https://h.org/a/c",          # dot-merge applies too
+        "//cdn.org/x.js": "https://h.org/x.js".replace(
+            "h.org/x.js", "cdn.org/x.js"),
+        "https://o.org/y#f": "https://o.org/y",
+        # query handling: '?' never splits into segments; bare '?q'
+        # keeps the page path
+        "p.html?a=/x/../y": "https://h.org/dir/sub/p.html?a=/x/../y",
+        "?page=2": "https://h.org/dir/sub/index.html?page=2",
+        # empty / fragment-only = the page itself, sans fragment+query
+        "": "https://h.org/dir/sub/index.html",
+        "#top": "https://h.org/dir/sub/index.html",
+        # non-hierarchical stands as-is
+        "mailto:x@y.z": "mailto:x@y.z",
+    }
+    for href, want in cases.items():
+        assert _resolve_full(spark, page, href) == want, href
+    # page with no path: relative resolves against '/'
+    assert _resolve_full(spark, "https://h.org", "a/b") == \
+        "https://h.org/a/b"
+    # trailing-slash directory page
+    assert _resolve_full(spark, "https://h.org/d/", "x") == \
+        "https://h.org/d/x"
+
+
 def test_host_of(spark):
     df = spark.createDataFrame(
         [Row(u="https://WWW.Example.COM:8080/a"),
