@@ -27,7 +27,7 @@ from quickner_spark.config import Config, Format
 from quickner_spark.matcher import annotate_text
 from quickner_spark.sinks import formats as sink_formats
 
-__all__ = ["Quickner", "Document", "Entity"]
+__all__ = ["Quickner", "Document", "Entity", "Text"]
 
 
 def _hash_id(text: str) -> str:
@@ -40,6 +40,32 @@ def _hash_id(text: str) -> str:
         import hashlib
 
         return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
+
+class Text:
+    """quickner-core/src/models.rs:13-16 / quickner.pyi:39-46 — the
+    CSV-row text envelope. Equality and hash are the TEXT FIELD only
+    (the reference derives Eq+Hash and collects ``Text`` rows into a
+    ``HashSet``, which is where text-level dedup happens,
+    quickner.rs:419-424): two ``Text`` objects with equal strings are one
+    set member. Accepted wherever a raw string is: the ``Quickner``
+    constructor's ``documents`` list (converted via
+    ``Document.from_string``, mirroring quickner.rs:424-427) and
+    ``sources.loaders.documents_from_rows``."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def __eq__(self, other):
+        return isinstance(other, Text) and self.text == other.text
+
+    def __hash__(self):
+        return hash(self.text)
+
+    def __repr__(self):
+        return f'Text(text="{self.text}")'
 
 
 @dataclass
@@ -118,7 +144,18 @@ class Quickner:
                  entities: Optional[list[Entity]] = None,
                  config: Optional[Config] = None,
                  spark=None):
-        self.documents: list[Document] = list(documents or [])
+        # Text envelopes are accepted alongside Documents: the reference
+        # turns its texts HashSet into documents with Document::from_string
+        # (quickner.rs:424-427); text-equality dedup is preserved.
+        docs, seen_texts = [], set()
+        for d in (documents or []):
+            if isinstance(d, Text):
+                if d.text in seen_texts:
+                    continue
+                seen_texts.add(d.text)
+                d = Document.from_string(d.text)
+            docs.append(d)
+        self.documents: list[Document] = docs
         self.entities: list[Entity] = list(entities or [])
         self.config = config or Config()
         self.config_path = ""

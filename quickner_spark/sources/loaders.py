@@ -131,7 +131,10 @@ def from_spacy(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 
 
 def documents_from_rows(spark: SparkSession, texts) -> DataFrame:
-    """S7 — constructor ingest from Python lists (pytest harness)."""
-    return (spark.createDataFrame([(t,) for t in texts], "text string")
+    """S7 — constructor ingest from Python lists (pytest harness). Rows
+    may be raw strings or :class:`quickner_spark.api.Text` envelopes
+    (models.rs:13-16) — anything with a ``.text`` attribute unwraps."""
+    vals = [getattr(t, "text", t) for t in texts]
+    return (spark.createDataFrame([(t,) for t in vals], "text string")
             .withColumn("id", doc_id_col("text"))
             .select("id", "text"))

@@ -133,3 +133,28 @@ def test_pretty_out_of_range_raises():
     d = Document("short", label=[(0, 99, "X")])
     with _pytest.raises(ValueError):
         d.pretty()
+
+
+def test_text_model_reference_parity(spark):
+    """models.rs:13-16 / quickner.pyi:39-46: Text(text) with text-field
+    equality + hash; a ported reference snippet constructing Text objects
+    runs unchanged through Quickner and documents_from_rows."""
+    from quickner_spark.api import Document, Quickner, Text
+    from quickner_spark.sources.loaders import documents_from_rows
+
+    a, b, c = Text("rust is fast"), Text("rust is fast"), Text("other")
+    assert a == b and hash(a) == hash(b) and a != c
+    assert a.text == "rust is fast"
+    assert len({a, b, c}) == 2          # HashSet semantics
+    assert repr(a) == 'Text(text="rust is fast")'
+
+    # constructor ingest: Text envelopes become Documents, text-deduped
+    q = Quickner(documents=[a, b, c, Document("plain doc")])
+    assert [d.text for d in q.documents] == \
+        ["rust is fast", "other", "plain doc"]
+    assert all(isinstance(d, Document) for d in q.documents)
+
+    # loader ingest: strings and Text envelopes mix
+    df = documents_from_rows(spark, [a, "raw string"])
+    assert [r["text"] for r in df.collect()] == \
+        ["rust is fast", "raw string"]

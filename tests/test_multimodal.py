@@ -80,3 +80,103 @@ def test_audio_features_windows_and_error_path(media):
     assert ok["zero_crossings"] == int(np.sum(
         np.signbit(wave[1:]) != np.signbit(wave[:-1])))
     assert not rows[99]["ok"] and rows[99]["zero_crossings"] == 0
+
+
+# --- codec seam contract (round-4 verdict item 5) -------------------------
+# The container has neither PIL nor soundfile, so these tests prove the
+# seam the way a deployment would use it: inject a fake "real" decoder and
+# assert the operators route every byte through it with the plan unchanged.
+
+def _make_fake_image_decoder():
+    """A 'real' codec for a toy format: [h, w, pixel bytes...]. Rejects
+    anything that does not parse — exactly how PIL would behave. Built as
+    a LOCAL function so cloudpickle ships it by value into executor
+    closures (test modules are not importable on workers — the same
+    constraint a notebook-defined production decoder lives under)."""
+    def fake_image_decoder(data: bytes):
+        import numpy as np
+        if not data or len(data) < 2:
+            return None
+        h, w = data[0], data[1]
+        body = data[2:2 + h * w * 3]
+        if h == 0 or w == 0 or len(body) != h * w * 3:
+            return None
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    return fake_image_decoder
+
+
+def _make_fake_audio_decoder():
+    def fake_audio_decoder(data: bytes):
+        import numpy as np
+        if not data:
+            return None
+        return (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    return fake_audio_decoder
+
+
+def test_default_decoder_resolution_matches_library_presence():
+    """In THIS container (no PIL/soundfile) the defaults are the stubs;
+    the gated-import flags and the chooser must agree."""
+    from quickner_spark.operators import multimodal as mm
+    assert mm.default_image_decoder() is (
+        mm.decode_image_pil if mm._HAVE_PIL else mm.decode_image_stub)
+    assert mm.default_audio_decoder() is (
+        mm.decode_audio_soundfile if mm._HAVE_SOUNDFILE
+        else mm.decode_audio_stub)
+
+
+def test_injected_image_decoder_contract(spark):
+    """image_features/resize_images with an injected 'real' decoder:
+    valid payloads decode through it, malformed ones hit the error path,
+    and the resize math holds on a non-stub-shaped (2x3) image."""
+    import numpy as np
+    from quickner_spark.operators.multimodal import (image_features,
+                                                     resize_images)
+    dec = _make_fake_image_decoder()
+    img = bytes([2, 3]) + bytes(range(2 * 3 * 3))       # valid 2x3 image
+    junk = b"\x05\x05short"                              # fails to parse
+    df = spark.createDataFrame(
+        [(1, img), (2, junk)], "media_id long, data binary")
+    rows = {r["media_id"]: r
+            for r in image_features(df, decoder=dec)
+            .collect()}
+    assert rows[1]["ok"] and not rows[2]["ok"]
+    hist, _ = np.histogram(dec(img), bins=16,
+                           range=(0, 256))
+    want = [float(h) / float(hist.sum()) for h in hist]
+    assert np.allclose(rows[1]["feature"], want)
+
+    rrows = {r["media_id"]: r
+             for r in resize_images(df, height=4, width=4,
+                                    decoder=dec)
+             .collect()}
+    assert rrows[1]["ok"] and len(rrows[1]["pixels"]) == 4 * 4 * 3
+    assert not rrows[2]["ok"]
+
+
+def test_injected_audio_and_frame_decoders(spark):
+    import numpy as np
+    from quickner_spark.operators.multimodal import (audio_features,
+                                                     frame_sample)
+    adec = _make_fake_audio_decoder()
+    idec = _make_fake_image_decoder()
+    df = spark.createDataFrame(
+        [(1, bytes(range(64))), (2, b"")], "media_id long, data binary")
+    rows = {r["media_id"]: r
+            for r in audio_features(df, n_windows=4,
+                                    decoder=adec)
+            .collect()}
+    assert rows[1]["ok"] and len(rows[1]["rms"]) == 4
+    assert not rows[2]["ok"]
+    wave = adec(bytes(range(64)))
+    assert rows[1]["zero_crossings"] == int(np.sum(
+        np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+
+    def fd(data, idx):  # a frame decoder that can fail per-frame
+        return None if idx >= 8 else idec(
+            bytes([2, 2]) + bytes((b + idx) % 256 for b in data[:12]))
+
+    out = frame_sample(df.where("media_id = 1"), every=4, n_frames=16,
+                       frame_decoder=fd)
+    assert sorted(r["frame"] for r in out.collect()) == [0, 4]
