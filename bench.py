@@ -19,6 +19,19 @@ Measurement hygiene (round-4 fixes for the round-3 verdict findings):
   q24/...) are benched via ``__spark_entry__.production_queries()``
   (xxhash64, float64 centroids) so the headline number tracks what
   production runs, not the oracle's portability tax.
+
+Round 5 adds a SECOND suite over the round-4 surface (graph q40-q44/q51/
+q61-q65, webgraph q45-q48, crawl artifacts q54-q59) so regressions in the
+new operators are tracked round-over-round like the headline 22. Protocol
+difference, deliberate: the graph suite is measured WARM-BASE — the shared
+sub-pipeline memo (mentions -> KG edges, host graph) is built once per run
+and its cost reported separately as ``base_build``, then each query is
+timed on top of the warm base. Standalone timing would re-run the same
+extraction 21x and every sample would measure the matcher, not the
+operator under test; warm-base isolates each operator's own cost, which is
+the number that detects an operator regression. The headline suite keeps
+the standalone (clear_memo per query) protocol so its totals stay
+comparable with rounds 1-4.
 """
 
 from __future__ import annotations
@@ -58,6 +71,32 @@ HEADLINE = [
     "q29_maximal_mentions",
 ]
 
+# Round-4 surface: graph + webgraph + crawl-artifact queries, warm-base
+# protocol (see module docstring). q28/q45 are the base builders and are
+# timed as "base_build", not as suite members.
+GRAPH_SUITE = [
+    "q40_khop",
+    "q41_degrees",
+    "q42_pagerank",
+    "q43_ntriples_export",
+    "q44_pattern_match",
+    "q46_anchor_dictionary",
+    "q47_anchor_aliases",
+    "q48_domain_graph",
+    "q51_hits",
+    "q54_wet_export",
+    "q55_sitemap_urls",
+    "q56_cdx_index",
+    "q57_frontier_plan",
+    "q58_robots_sitemaps",
+    "q59_wat_export",
+    "q61_triangles",
+    "q62_cocitation",
+    "q63_communities",
+    "q64_weighted_pagerank",
+    "q65_personalized_pagerank",
+]
+
 
 def main() -> None:
     from statistics import median
@@ -84,6 +123,23 @@ def main() -> None:
             counts[name] = qs[name](spark, sf_dir).count()
             samples[name].append(round(time.time() - t0, 3))
         spark.catalog.clearCache()  # q12/q13 etc. cache mentions per call
+    # --- graph/webgraph/crawl suite: warm-base protocol ---------------
+    g_samples: dict[str, list[float]] = {n: [] for n in GRAPH_SUITE}
+    base_samples: list[float] = []
+    for r in range(runs):
+        E.clear_memo()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs["q28_kg_edges"](spark, sf_dir).count()   # warms mentions+edges
+        qs["q45_host_graph"](spark, sf_dir).count()  # warms host graph
+        base_samples.append(round(time.time() - t0, 3))
+        for name in GRAPH_SUITE:
+            t0 = time.time()
+            counts[name] = qs[name](spark, sf_dir).count()
+            g_samples[name].append(round(time.time() - t0, 3))
+    E.clear_memo()
+    spark.catalog.clearCache()
+    g_timings = {n: round(median(ts), 3) for n, ts in g_samples.items()}
     timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
@@ -103,6 +159,17 @@ def main() -> None:
         "triples_per_sec": round(counts["q12_triples"] / timings["q12_triples"], 1),
         "cpus": cpus,
         "rows": counts,
+        "graph_suite": {
+            "value": round(sum(g_timings.values()), 3),
+            "unit": "sec",
+            "protocol": "warm-base medians of %d runs — shared KG-edge/"
+                        "host-graph memo built once per run (base_build), "
+                        "each operator timed on the warm base" % runs,
+            "base_build": round(median(base_samples), 3),
+            "base_samples": base_samples,
+            "queries": g_timings,
+            "samples": g_samples,
+        },
     }
     spark.stop()
     print(json.dumps(out))
