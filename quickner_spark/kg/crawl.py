@@ -102,16 +102,34 @@ def crawl(seeds: DataFrame,
     convention). Robots-DISALLOWED urls by contrast enter seen — their
     verdict is permanent and they must never bounce back.
 
+    Cost shape: the deferral bookkeeping (a flagged full-frontier
+    decision + a per-round seen-delta materialization) is paid ONLY when
+    a budget is configured. Unbudgeted crawls take the fast path — every
+    frontier url is decided (planned or disallowed), so the frontier
+    itself IS the seen delta and no second materialization exists
+    (measured ~1.5x wall on the 1.28M-page 4-round bench, which is why
+    the paths are split).
+
     Determinism: every step is deterministic given the fetcher, so two
     runs produce identical page sets (test-pinned). The per-round
     count() actions double as the lineage barrier points."""
     spark = seeds.sparkSession
+    budgeted = budget_per_host is not None or host_budget is not None
     # seen is kept as a UNION of per-round checkpointed deltas: each
     # round materializes only its OWN increment, never rewriting the
     # accumulated table — at crawl-db scale the seen side is the
     # dominant state and rewriting it per round is O(rounds · |seen|)
     # wasted I/O.
     seen_parts: list[DataFrame] = []
+    if not budgeted:
+        # fast path: with no budget every enqueued url is decided this
+        # round (planned or robots-disallowed), so the frontier itself is
+        # the seen delta — record it up front and reuse the one per-round
+        # localCheckpoint of `fresh` for both the delta and the next
+        # frontier (no second materialization).
+        seen_parts.append(seeds.select(normalize_url(F.col(url_col))
+                                       .alias("url_norm"))
+                          .distinct().localCheckpoint())
     frontier = seeds.select(F.col(url_col).alias("url")).distinct()
     n = frontier.count()
     all_pages: DataFrame | None = None
@@ -122,20 +140,28 @@ def crawl(seeds: DataFrame,
         sizes.append(n)
         if n == 0:
             break
-        # the flagged full-frontier decision: one politeness window,
-        # reused for the fetch plan AND the seen delta
-        dec = plan_frontier(frontier, rules, delays,
-                            priority_col=priority_col,
-                            budget_per_host=budget_per_host,
-                            host_budget=host_budget,
-                            keep_dropped=True).cache()
-        plan = dec.where(F.col("planned")).drop("allowed", "planned")
-        # seen delta: planned urls + robots-disallowed urls. Allowed-
-        # but-over-budget urls stay OUT — that is the deferral.
-        delta = (dec.where(F.col("planned") | ~F.col("allowed"))
-                 .select(normalize_url(F.col("url")).alias("url_norm"))
-                 .distinct().localCheckpoint())
-        seen_parts.append(delta)
+        if budgeted:
+            # the flagged full-frontier decision: one politeness window,
+            # reused for the fetch plan AND the seen delta
+            dec = plan_frontier(frontier, rules, delays,
+                                priority_col=priority_col,
+                                budget_per_host=budget_per_host,
+                                host_budget=host_budget,
+                                keep_dropped=True).cache()
+            plan = dec.where(F.col("planned")).drop("allowed", "planned")
+            # seen delta: planned urls + robots-disallowed urls. Allowed-
+            # but-over-budget urls stay OUT — that is the deferral. No
+            # distinct: frontier rows are unique per canonical key by
+            # construction (the groupBy below), and duplicate keys in an
+            # anti-join right side are harmless anyway.
+            delta = (dec.where(F.col("planned") | ~F.col("allowed"))
+                     .select(normalize_url(F.col("url")).alias("url_norm"))
+                     .localCheckpoint())
+            seen_parts.append(delta)
+        else:
+            dec = None
+            plan = plan_frontier(frontier, rules, delays,
+                                 priority_col=priority_col)
         pages = fetcher(plan).withColumn("crawl_round", F.lit(rnd))
         # COLUMNAR cache, not localCheckpoint: the checkpoint RDD stores
         # row objects and rescans ~10x slower than the vectorized
@@ -145,7 +171,8 @@ def crawl(seeds: DataFrame,
         # call ``caching.release(result.pages)`` when done.
         pages = pages.cache()
         fetched.append(pages.count())
-        dec.unpersist()  # both consumers (plan, delta) are materialized
+        if dec is not None:
+            dec.unpersist()  # both consumers (plan, delta) materialized
         page_parts.append(pages)
         all_pages = pages if all_pages is None else all_pages.union(pages)
         if rnd == rounds - 1:
@@ -166,6 +193,10 @@ def crawl(seeds: DataFrame,
                 .groupBy("url_norm").agg(F.min("url").alias("url")))
         fresh = cand.join(seen, "url_norm", "left_anti").localCheckpoint()
         n = fresh.count()
+        if not budgeted:
+            # fast path: next round decides every one of these urls, so
+            # the fresh checkpoint doubles as the seen delta
+            seen_parts.append(fresh.select("url_norm"))
         frontier = fresh.select("url")
     if all_pages is None:
         all_pages = spark.createDataFrame([], "url string, html binary, "
