@@ -231,21 +231,27 @@ def resolve_href_full(url: Column, href: Column) -> Column:
 
     Handled per the RFC: scheme-qualified hrefs stand as-is;
     ``//authority/p`` adopts the page scheme; ``/p`` is root-absolute;
-    ``?q`` replaces the page's query; the empty href is the page itself
-    (sans fragment); anything else merges with the page directory.
-    href queries pass through unsplit (a ``/`` inside a query is query
-    text, not a segment). Userinfo/IPv6 parsing follows the module-wide
-    simplification."""
+    ``?q`` replaces the page's query; the empty (or fragment-only) href
+    is the page itself — query KEPT, per §5.2.2's same-document rule;
+    anything else merges with the page directory. href queries pass
+    through unsplit (a ``/`` inside a query is query text, not a
+    segment). Userinfo/IPv6 parsing follows the module-wide
+    simplification. Differential-tested against ``urllib.parse.urljoin``
+    (CPython's RFC 3986 §5 implementation) over a base×href grid."""
     h = F.substring_index(href, "#", 1)  # fragment never reaches the wire
     scheme = F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     authority = F.regexp_extract(
         url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     base = F.concat(scheme, F.lit("://"), authority)
-    # page path sans query/fragment; '' (no path at all) acts as '/'
-    ppath = F.substring_index(F.substring_index(F.regexp_replace(
-        url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#", 1), "?", 1)
-    ppath = F.when(ppath == "", F.lit("/")).otherwise(ppath)
-    pdir = F.regexp_replace(ppath, "[^/]*$", "")  # up to the last '/'
+    # page path + query, sans fragment. ppath stays '' for a pathless
+    # base in the same-document/query branches (RFC §5.3 recomposition);
+    # only the directory MERGE coerces '' to '/' (§5.3 merge rule).
+    prest = F.substring_index(F.regexp_replace(
+        url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#", 1)
+    ppath = F.substring_index(prest, "?", 1)
+    pquery = F.regexp_extract(prest, "(\\?.*)$", 1)
+    pdir = F.regexp_replace(  # up to the last '/'
+        F.when(ppath == "", F.lit("/")).otherwise(ppath), "[^/]*$", "")
     # split the href into its path and query parts; the query is carried
     # through resolution verbatim
     hq = F.regexp_extract(h, "(\\?.*)$", 1)
@@ -256,7 +262,8 @@ def resolve_href_full(url: Column, href: Column) -> Column:
              .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
              .when(hp.startswith("/"),
                    F.concat(base, abs_path, hq))
-             .when(h == "", F.concat(base, ppath))
+             .when(h == "",  # same-document reference: query kept
+                   F.concat(base, ppath, pquery))
              .when(hp == "",  # '?q' — keep the page path, swap the query
                    F.concat(base, ppath, hq))
              .otherwise(F.concat(base, rel_path, hq)))

@@ -75,9 +75,10 @@ def test_resolve_href_full_rfc3986(spark):
         # keeps the page path
         "p.html?a=/x/../y": "https://h.org/dir/sub/p.html?a=/x/../y",
         "?page=2": "https://h.org/dir/sub/index.html?page=2",
-        # empty / fragment-only = the page itself, sans fragment+query
-        "": "https://h.org/dir/sub/index.html",
-        "#top": "https://h.org/dir/sub/index.html",
+        # empty / fragment-only = the page itself (same-document rule,
+        # §5.2.2: query KEPT, fragment never reaches the wire)
+        "": "https://h.org/dir/sub/index.html?page=1",
+        "#top": "https://h.org/dir/sub/index.html?page=1",
         # non-hierarchical stands as-is
         "mailto:x@y.z": "mailto:x@y.z",
     }
@@ -523,3 +524,91 @@ def test_surt_key_is_prefix_range_friendly(spark):
     assert ks[0].startswith("com,example,a)") and \
         ks[1].startswith("com,example,a)")
     assert sorted(ks)[:3] == sorted(ks[:3])  # example.com block contiguous
+
+
+def test_resolve_href_full_differential_vs_urljoin(spark):
+    """Differential: resolve_href_full (Column implementation) vs
+    CPython's urllib.parse.urljoin (the stdlib RFC 3986 §5 resolver)
+    over a full base×href grid — every pair inside the module's
+    documented simplifications (no userinfo/IPv6 authorities) must
+    agree exactly, modulo the engine's wire rule that fragments are
+    stripped before resolution.
+
+    Three href classes are excluded because CPYTHON deviates from RFC
+    3986 there and this engine sides with the RFC (and with the WHATWG
+    URL standard, i.e. what browsers actually fetch):
+    * empty path segments ("a//b.html"): urljoin collapses them to
+      "a/b.html"; RFC §5.2.4 removes only dot segments.
+    * present-but-empty query ("p.html?"): urljoin drops the "?" (and
+      for a bare "?" even resurrects the BASE query); RFC recomposition
+      keeps a defined empty query.
+    * empty-authority network refs ("//", "///p"): urljoin silently
+      reuses the base authority; RFC recomposes the empty authority.
+    Those classes are pinned to the engine's RFC behavior below."""
+    from urllib.parse import urljoin, urlsplit
+
+    from pyspark.sql import Row
+    from quickner_spark.kg.weblinks import resolve_href_full
+
+    bases = [
+        "https://h.org/dir/sub/index.html?page=1",
+        "https://h.org/dir/sub/index.html",
+        "https://h.org/dir/sub/",
+        "https://h.org/dir/",
+        "https://h.org/",
+        "https://h.org",
+        "http://h.org/a/b/c/d.html?x=1&y=2",
+        "https://h.org:8080/p/q.html",
+        "https://sub.h.org/deep/1/2/3/page.html?q=a/b",
+    ]
+    hrefs = [
+        "page2.html", "img/x.png", "a/b/c.html",
+        "../up.html", "../../top.html", "../../../over.html",
+        "../../../../way.html", "./here.html", "././twice.html",
+        "a/./b/../c.html", "..", ".", "../", "./", "../..", "../../",
+        "/root.html", "/a/b/../c", "/a/./b", "/..", "/.",
+        "//cdn.org/x.js", "//cdn.org", "https://o.org/y#f",
+        "mailto:x@y.z",
+        "p.html?a=/x/../y", "?page=2", "", "#top", "#",
+        "a.html#frag", "../b.html#frag?notquery",
+        "x?q=1#f", "dir/", "dir/../", "...", "a...b.html",
+        ".hidden", "..double",
+        # cpython-quirk classes, kept in the grid to prove the skip
+        # predicate catches them (pinned separately below)
+        "?", "p.html?", "a//b.html", "//", "///p", "..//",
+    ]
+
+    def cpython_quirk(h: str) -> bool:
+        wire = h.split("#", 1)[0]
+        sp = urlsplit(wire)
+        if "?" in wire and sp.query == "":
+            return True                       # present-but-empty query
+        if wire.startswith("//") and sp.netloc == "":
+            return True                       # empty-authority net ref
+        return "//" in sp.path                # empty path segments
+
+    rows = [Row(base=b, href=h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(rows)
+    got = {(r["base"], r["href"]): r["resolved"]
+           for r in df.select(
+               "base", "href",
+               resolve_href_full(F.col("base"), F.col("href"))
+               .alias("resolved")).collect()}
+    bad, n_checked = [], 0
+    for b in bases:
+        for h in hrefs:
+            if cpython_quirk(h):
+                continue
+            n_checked += 1
+            want = urljoin(b, h).split("#", 1)[0]  # wire rule: no frags
+            if got[(b, h)] != want:
+                bad.append((b, h, got[(b, h)], want))
+    assert n_checked >= 300            # the grid is mostly in scope
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+    # pinned RFC behavior for the excluded classes (base fixed):
+    b = "https://h.org/dir/sub/index.html?page=1"
+    assert got[(b, "a//b.html")] == "https://h.org/dir/sub/a//b.html"
+    assert got[(b, "p.html?")] == "https://h.org/dir/sub/p.html?"
+    assert got[(b, "?")] == "https://h.org/dir/sub/index.html?"
+    assert got[(b, "//")] == "https://"        # junk in, RFC junk out —
+    assert got[(b, "///p")] == "https:///p"    # host_of()=="" drops both
