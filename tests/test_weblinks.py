@@ -612,3 +612,76 @@ def test_resolve_href_full_differential_vs_urljoin(spark):
     assert got[(b, "?")] == "https://h.org/dir/sub/index.html?"
     assert got[(b, "//")] == "https://"        # junk in, RFC junk out —
     assert got[(b, "///p")] == "https:///p"    # host_of()=="" drops both
+
+
+def test_resolve_href_full_fuzz_vs_urljoin(spark):
+    """Seeded random fuzz over the in-scope href grammar (segments drawn
+    from normal names, '.', '..', dotted names; optional query; optional
+    fragment; absolute/relative/scheme-relative forms), differentially
+    checked against urljoin in ONE Spark job. Deterministic seed so a
+    failure reproduces."""
+    import random
+    from urllib.parse import urljoin, urlsplit
+
+    from pyspark.sql import Row
+    from quickner_spark.kg.weblinks import resolve_href_full
+
+    rng = random.Random(0xC0FFEE)
+    seg_pool = ["a", "bb", "c1", "page.html", "x.y", ".", "..",
+                "...", ".hidden", "a-b_c", "%7Euser", "idx"]
+
+    def rand_path(maxdepth: int, absolute: bool) -> str:
+        segs = [rng.choice(seg_pool)
+                for _ in range(rng.randint(0, maxdepth))]
+        p = "/".join(segs)
+        if absolute:
+            p = "/" + p
+        if segs and rng.random() < 0.3:
+            p += "/"
+        return p
+
+    def rand_base() -> str:
+        host = rng.choice(["h.org", "sub.h.org", "h.org:8080"])
+        path = rand_path(4, absolute=True)
+        q = "?" + rng.choice(["a=1", "q=a/b", "x=1&y=2"]) \
+            if rng.random() < 0.4 else ""
+        return f"https://{host}{path}{q}"
+
+    def rand_href() -> str:
+        kind = rng.random()
+        if kind < 0.55:
+            h = rand_path(4, absolute=False)
+        elif kind < 0.8:
+            h = rand_path(3, absolute=True)
+        elif kind < 0.9:
+            h = "//cdn.org" + rand_path(2, absolute=True)
+        else:
+            h = "https://o.org" + rand_path(2, absolute=True)
+        if rng.random() < 0.3:
+            h += "?" + rng.choice(["k=v", "p=/a/../b", "z"])
+        if rng.random() < 0.2:
+            h += "#" + rng.choice(["", "frag", "a?b"])
+        return h
+
+    def cpython_quirk(h: str) -> bool:
+        wire = h.split("#", 1)[0]
+        sp = urlsplit(wire)
+        if "?" in wire and sp.query == "":
+            return True
+        if wire.startswith("//") and sp.netloc == "":
+            return True
+        return "//" in sp.path
+
+    pairs = []
+    while len(pairs) < 400:
+        b, h = rand_base(), rand_href()
+        if not cpython_quirk(h):
+            pairs.append((b, h))
+    df = spark.createDataFrame([Row(base=b, href=h) for b, h in pairs])
+    got = [(r["base"], r["href"], r["resolved"]) for r in df.select(
+        "base", "href",
+        resolve_href_full(F.col("base"), F.col("href")).alias("resolved"))
+        .collect()]
+    bad = [(b, h, g, urljoin(b, h).split("#", 1)[0]) for b, h, g in got
+           if g != urljoin(b, h).split("#", 1)[0]]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
