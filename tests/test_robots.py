@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from quickner_spark.kg.robots import frontier_allowed, robots_rules
 
@@ -245,3 +245,68 @@ def test_allocate_budget_proportional_with_floor(spark):
     import pytest
     with pytest.raises(ValueError, match="must be positive"):
         allocate_budget(hr, total_budget=0)
+
+
+def test_plan_frontier_keep_dropped_host_budget_table(spark):
+    """keep_dropped under the host_budget TABLE path (not just the
+    uniform cap): per-host caps flag the right rows as unplanned, hosts
+    absent from the table fall back to budget_per_host (or uncapped),
+    and filtering to planned is row-identical to the default output."""
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.robots import plan_frontier, robots_rules
+
+    rules = robots_rules(spark.createDataFrame(
+        [Row(host="a.org", body="User-agent: *\nDisallow: /private/")]))
+    urls = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("a.org", "b.org", "c.org")
+         for i in range(4)] + [("https://a.org/private/x",)],
+        "url string")
+    hb = spark.createDataFrame([("a.org", 1), ("b.org", 3)],
+                               "host string, budget int")
+    dec = plan_frontier(urls, rules, budget_per_host=2, host_budget=hb,
+                        keep_dropped=True)
+    rows = {r["url"]: (r["allowed"], r["planned"]) for r in dec.collect()}
+    # whole frontier present, flags per host-cap
+    assert len(rows) == 13
+    assert rows["https://a.org/p0"] == (True, True)
+    assert rows["https://a.org/p1"] == (True, False)      # a capped at 1
+    assert rows["https://b.org/p2"] == (True, True)       # b capped at 3
+    assert rows["https://b.org/p3"] == (True, False)
+    assert rows["https://c.org/p1"] == (True, True)       # fallback 2
+    assert rows["https://c.org/p2"] == (True, False)
+    assert rows["https://a.org/private/x"] == (False, False)
+    default = plan_frontier(urls, rules, budget_per_host=2, host_budget=hb)
+    flagged = dec.where(F.col("planned")).drop("allowed", "planned") \
+                 .select(*default.columns)
+    assert sorted(map(tuple, default.collect())) == \
+        sorted(map(tuple, flagged.collect()))
+
+
+def test_plan_frontier_keep_dropped_adds_no_shuffles(spark):
+    """The flagged decision path must not add shuffles vs the default
+    path: same hash-partitioning Exchange count (the robots longest-match
+    sub-pipeline and the one host-keyed politeness window — keep_dropped
+    only widens the window input and adds flag columns), and the budget
+    join stays a BroadcastExchange in both modes."""
+    from pyspark.sql import Row
+
+    from quickner_spark.kg.robots import plan_frontier, robots_rules
+
+    rules = robots_rules(spark.createDataFrame(
+        [Row(host="a.org", body="User-agent: *\nAllow: /")]))
+    urls = spark.createDataFrame(
+        [(f"https://a.org/p{i}",) for i in range(8)], "url string")
+    hb = spark.createDataFrame([("a.org", 5)], "host string, budget int")
+    counts, plans = {}, {}
+    for kd in (False, True):
+        df = plan_frontier(urls, rules, budget_per_host=2, host_budget=hb,
+                           keep_dropped=kd)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plans[kd] = plan
+        counts[kd] = sum(1 for line in plan.splitlines()
+                         if "Exchange hashpartitioning" in line)
+        assert "BroadcastExchange" in plan  # budget join never shuffles
+    assert counts[True] == counts[False], \
+        f"{counts}\n--- default ---\n{plans[False]}" \
+        f"\n--- keep_dropped ---\n{plans[True]}"
