@@ -32,6 +32,15 @@ operator under test; warm-base isolates each operator's own cost, which is
 the number that detects an operator regression. The headline suite keeps
 the standalone (clear_memo per query) protocol so its totals stay
 comparable with rounds 1-4.
+
+Output-size contract (round-5 fix): the per-round driver keeps only the
+LAST 2000 characters of stdout and parses the final JSON line — round 4's
+line grew to ~3.5 KB (raw samples + row counts) and the driver recorded
+``parsed: null``. The printed line is now a COMPACT summary hard-capped
+below ``_LINE_BUDGET`` chars (``make_compact`` drops detail keys in a
+documented priority order if a future suite grows past it); the full
+record — raw samples, row counts, per-query graph-suite medians — is
+written to ``BENCH_DETAIL.json`` next to this script instead.
 """
 
 from __future__ import annotations
@@ -96,6 +105,48 @@ GRAPH_SUITE = [
     "q64_weighted_pagerank",
     "q65_personalized_pagerank",
 ]
+
+
+# Hard cap for the printed JSON line. The driver tails 2000 chars; leave
+# headroom for a trailing newline and any stray log line after ours.
+_LINE_BUDGET = 1800
+
+
+def make_compact(out: dict) -> str:
+    """One-line JSON summary of a full bench record, < _LINE_BUDGET chars.
+
+    Keeps the driver-contract keys (metric/value/unit/queries/sf) plus the
+    throughput headlines; folds the graph suite to its two scalar totals.
+    If the line still exceeds the budget (e.g. a future suite triples the
+    query count), detail keys are dropped in priority order — per-query
+    medians go LAST since they are the driver contract's "queries" key.
+    """
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "runs": out["runs"],
+        "sf": out["sf"],
+        "docs_per_sec": out["docs_per_sec"],
+        "mentions_per_sec": out["mentions_per_sec"],
+        "triples_per_sec": out["triples_per_sec"],
+        "cpus": out["cpus"],
+        "graph_suite_sec": out["graph_suite"]["value"],
+        "graph_base_build_sec": out["graph_suite"]["base_build"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    for drop in ("detail", "graph_base_build_sec", "graph_suite_sec",
+                 "cpus", "docs_per_sec", "mentions_per_sec", "runs",
+                 "metric", "queries"):
+        if len(line) <= _LINE_BUDGET:
+            break
+        compact.pop(drop, None)
+        if drop == "metric":
+            compact["metric"] = "headline suite wall time (sec)"
+        line = json.dumps(compact)
+    return line
 
 
 def main() -> None:
@@ -172,7 +223,11 @@ def main() -> None:
         },
     }
     spark.stop()
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(make_compact(out))
 
 
 if __name__ == "__main__":
