@@ -144,11 +144,15 @@ class Quickner:
                  entities: Optional[list[Entity]] = None,
                  config: Optional[Config] = None,
                  spark=None):
-        # Text envelopes are accepted alongside Documents: the reference
-        # turns its texts HashSet into documents with Document::from_string
-        # (quickner.rs:424-427); text-equality dedup is preserved.
+        # Text envelopes and raw strings are accepted alongside Documents
+        # (the reference constructor takes only Vec<PyDocument>,
+        # pyquickner.rs:87-98; its texts HashSet path turns strings into
+        # documents with Document::from_string, quickner.rs:424-427) —
+        # both get the HashSet text-equality dedup, Documents do not.
         docs, seen_texts = [], set()
         for d in (documents or []):
+            if isinstance(d, str):
+                d = Text(d)
             if isinstance(d, Text):
                 if d.text in seen_texts:
                     continue

@@ -158,3 +158,22 @@ def test_text_model_reference_parity(spark):
     df = documents_from_rows(spark, [a, "raw string"])
     assert [r["text"] for r in df.collect()] == \
         ["rust is fast", "raw string"]
+
+
+def test_constructor_accepts_raw_strings(spark):
+    """Raw strings in Quickner(documents=...) take the Text path:
+    wrapped into Documents with HashSet text-equality dedup (same
+    semantics as the reference's texts ingestion, quickner.rs:424-427).
+    Regression: pre-round-5-close this raised AttributeError in
+    process() ('str' object has no attribute 'id')."""
+    from quickner_spark.api import Document, Entity, Quickner
+
+    q = Quickner(documents=["Apple acquired Beats.", "Apple acquired Beats.",
+                            "other text"],
+                 entities=[Entity("Apple", "ORG")], spark=spark)
+    assert [d.text for d in q.documents] == \
+        ["Apple acquired Beats.", "other text"]
+    assert all(isinstance(d, Document) for d in q.documents)
+    q.process()
+    assert q.documents[0].label == [(0, 5, "ORG")]
+    assert q.documents[1].label == []
