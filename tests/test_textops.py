@@ -148,31 +148,39 @@ def test_scoped_caches_are_releasable(spark, docs):
     """Operators that cache intermediates must expose them via the
     track/release contract so a long-lived session does not accumulate
     executor storage: after release() (or the operators' internal release,
-    for dup_clusters/canonicalize) no persistent RDDs remain."""
+    for dup_clusters/canonicalize) none of the operator's OWN persistent
+    RDDs remain. Compared as an id-SET SUBSET, not a count: the baseline
+    can include leftover localCheckpoint RDDs from earlier tests that
+    Spark's async ContextCleaner unpersists whenever their references are
+    GC'd — a count baseline flakes when that happens mid-test."""
     from quickner_spark.operators.caching import release
     from quickner_spark.operators import textops as tx
 
     spark.catalog.clearCache()  # drop cache entries left by earlier tests
     docs.count()  # re-materialize the fixture's own cache before baselining
-    sc = spark.sparkContext._jsc.sc()
-    base = sc.getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc
+
+    def live_ids():
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    base_ids = live_ids()
 
     out = tx.minhash_dedup(docs)
     out.count()
     release(out)
-    assert sc.getPersistentRDDs().size() == base
+    assert live_ids() <= base_ids
 
     out = tx.jaccard_pairs_prefix(docs)
     out.count()
     release(out)
-    assert sc.getPersistentRDDs().size() == base
+    assert live_ids() <= base_ids
 
     # dup_clusters / canonicalize release their own intermediates
     tx.dup_clusters(docs).count()
-    assert sc.getPersistentRDDs().size() == base
+    assert live_ids() <= base_ids
 
     from quickner_spark.kg.canonicalize import canonicalize_aliases
     al = spark.createDataFrame([("acme inc",), ("acme incorporated",),
                                 ("zeta corp",)], "alias string")
     canonicalize_aliases(al).count()
-    assert sc.getPersistentRDDs().size() == base
+    assert live_ids() <= base_ids
