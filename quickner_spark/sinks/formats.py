@@ -353,6 +353,34 @@ def _warc_record_id(url: Column, ts: Column) -> Column:
         F.lit("-"), F.substring(h, 21, 12))
 
 
+def _warc_header_parts(pages: DataFrame, warc_type: str, url_col: str,
+                       ts_col: str | None) -> list[Column]:
+    """Shared WARC header framing for :func:`wet_lines`/:func:`wat_lines`:
+    version line, Type, deterministic Record-ID, Target-URI, and a
+    per-ROW conditional WARC-Date. The conditional matters: a NULL
+    timestamp must not null the whole record concat (``.write.text``
+    rejects NULL lines and every header after the date would vanish), so
+    a NULL-ts row exports without the Date header — the documented
+    ``ts_col=None`` conformance gap applied row-wise. Record ids for
+    non-null rows are unchanged by the NULL guard (coalesce to '' only
+    fires on NULL), so exports stay byte-identical and oracle-exact."""
+    ts_str: Column = F.lit(None).cast("string")
+    if ts_col is not None:
+        ts_str = F.col(ts_col)
+        if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
+            ts_str = F.date_format(ts_str, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parts = [F.lit(f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+                   "WARC-Record-ID: <"),
+             _warc_record_id(F.col(url_col),
+                             F.coalesce(ts_str, F.lit(""))),
+             F.lit(">\r\nWARC-Target-URI: "), F.col(url_col)]
+    if ts_col is not None:
+        parts.append(F.when(ts_str.isNotNull(),
+                            F.concat(F.lit("\r\nWARC-Date: "), ts_str))
+                      .otherwise(F.lit("")))
+    return parts
+
+
 def wet_lines(pages: DataFrame, url_col: str = "url",
               text_col: str = "text",
               ts_col: str | None = "warc_ts") -> DataFrame:
@@ -376,19 +404,11 @@ def wet_lines(pages: DataFrame, url_col: str = "url",
     so pass a real capture timestamp for conforming output (fabricating
     one engine-side would be worse than the gap). WARC-Block-Digest is
     optional and not emitted. Pages whose text is NULL (dropped by the
-    extractor) are skipped."""
+    extractor) are skipped; a NULL timestamp drops only that row's
+    WARC-Date header (see :func:`_warc_header_parts`), never the
+    record."""
     txt = F.col(text_col)
-    ts_str: Column = F.lit("")
-    if ts_col is not None:
-        ts_str = F.col(ts_col)
-        if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
-            ts_str = F.date_format(ts_str, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    parts = [F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
-                   "WARC-Record-ID: <"),
-             _warc_record_id(F.col(url_col), ts_str),
-             F.lit(">\r\nWARC-Target-URI: "), F.col(url_col)]
-    if ts_col is not None:
-        parts += [F.lit("\r\nWARC-Date: "), ts_str]
+    parts = _warc_header_parts(pages, "conversion", url_col, ts_col)
     parts += [F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
               F.octet_length(txt).cast("string"),
               F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n")]
@@ -491,17 +511,7 @@ def wat_lines(pages: DataFrame, url_col: str = "url",
         F.lit(',"canonical":'), _json_str(canonical_of(html)),
         F.lit(',"links":['),
         F.concat_ws(",", F.transform(links, _json_str)), F.lit("]}"))
-    ts_str: Column = F.lit("")
-    if ts_col is not None:
-        ts_str = F.col(ts_col)
-        if isinstance(pages.schema[ts_col].dataType, T.TimestampType):
-            ts_str = F.date_format(ts_str, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    parts = [F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
-                   "WARC-Record-ID: <"),
-             _warc_record_id(F.col(url_col), ts_str),
-             F.lit(">\r\nWARC-Target-URI: "), F.col(url_col)]
-    if ts_col is not None:
-        parts += [F.lit("\r\nWARC-Date: "), ts_str]
+    parts = _warc_header_parts(pages, "metadata", url_col, ts_col)
     parts += [F.lit("\r\nContent-Type: application/json\r\n"
                     "Content-Length: "),
               F.octet_length(payload).cast("string"),

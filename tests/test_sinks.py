@@ -309,6 +309,33 @@ def test_wet_lines_byte_exact(spark):
         in row["value"]
 
 
+def test_wet_wat_null_timestamp_row_still_exports(spark):
+    """A NULL warc_ts must drop only that ROW's WARC-Date header, not
+    null the whole record concat (a NULL line breaks .write.text and
+    silently loses the page from the export). Non-null rows keep their
+    exact bytes — same Record-ID as the all-non-null test."""
+    from pyspark.sql import Row
+
+    from quickner_spark.sinks.formats import wat_lines, wet_lines
+
+    df = spark.createDataFrame([
+        Row(url="https://h.org/p", warc_ts="2025-03-01T08:00:00Z",
+            text="héllo", html=bytearray(b"<html></html>")),
+        Row(url="https://h.org/null-ts", warc_ts=None,
+            text="x", html=bytearray(b"<html></html>")),
+    ])
+    for fn in (wet_lines, wat_lines):
+        got = {r["value"] for r in fn(df).collect()}
+        assert len(got) == 2 and None not in got
+        (null_row,) = [v for v in got if "/null-ts" in v]
+        assert "WARC-Date" not in null_row
+        # NULL ts hashes like ts_col=None: the empty-string coalesce
+        assert f"WARC-Record-ID: <{_rid('https://h.org/null-ts', '')}>" \
+            in null_row
+        (full_row,) = [v for v in got if "/p\r" in v]
+        assert "WARC-Date: 2025-03-01T08:00:00Z\r\n" in full_row
+
+
 def test_wet_lines_timestamp_formatting(spark):
     from pyspark.sql import Row, functions as F
 
