@@ -12,9 +12,13 @@ Semantics (the practical subset of RFC 9309):
 * group structure: consecutive ``User-agent:`` lines open ONE group
   whose Allow/Disallow rules run until the next User-agent line that
   follows a non-User-agent line (RFC 9309 §2.2.1).
-* a group governs when it names ``*`` or the caller's agent token
-  (case-insensitive exact match; no longest-agent-prefix tiebreak —
-  documented simplification, ``*`` + exact covers crawl practice).
+* group precedence follows RFC 9309 §2.2.1's most-specific-match rule
+  at exact-token granularity: when ANY group on the host names the
+  caller's agent token (case-insensitive exact match), exactly those
+  groups govern and ``*`` groups are IGNORED; only a host with no
+  exactly-matching group falls back to its ``*`` groups. (No
+  longest-agent-substring tiebreak — documented simplification; exact
+  token + ``*`` covers crawl practice.)
 * ``#`` starts a comment; blank/foreign lines are ignored; rules before
   any User-agent line belong to no group and are dropped (per RFC).
 * rule paths match as plain path prefixes (no ``*``/``$`` wildcards —
@@ -23,11 +27,11 @@ Semantics (the practical subset of RFC 9309):
 * precedence per URL: the longest matching path wins; on equal length
   Allow beats Disallow (RFC 9309 §2.2.2); no governing rule -> allowed.
 * ``Crawl-delay`` (de-facto extension, not in RFC 9309): seconds per
-  governing group; when several governing groups disagree the MINIMUM
-  survives (deterministic; real crawlers pick their most specific
-  group — with ``*`` + exact matching the min is the specific one
-  whenever it is lower, i.e. the conservative-for-the-server choice is
-  made only between applicable values). Non-numeric values drop.
+  governing group; when several governing groups disagree (several
+  groups can name the same token) the MINIMUM survives — deterministic,
+  and the choice is made only between values of the governing tier
+  (exact-match groups, or the ``*`` groups when no exact group exists,
+  per the precedence rule above). Non-numeric values drop.
 * ``Sitemap:`` is a GLOBAL directive (outside any group, per the
   sitemaps.org protocol) — scanned without the group machinery.
 
@@ -65,10 +69,15 @@ def _governed_lines(robots: DataFrame, host_col: str,
     """(host, pos, kind, value, gid, governs) — robots bodies split into
     directive lines with RFC 9309 group structure attached. One
     posexplode over lines, one lag window (group starts), one running-sum
-    window (group ids), one max window (does any User-agent line of my
-    group name me) — all partitioned by host. Callers filter to the
-    directive kinds they want AFTER the group machinery ran over the
-    full sequence."""
+    window (group ids), two max windows (does any User-agent line of my
+    group name me exactly / name ``*``) plus one host-level max (does ANY
+    group on this host name the agent exactly — the §2.2.1 precedence
+    switch: exact groups govern when one exists, ``*`` groups only
+    otherwise) — all partitioned by host. Callers filter to the directive
+    kinds they want AFTER the group machinery ran over the full
+    sequence. When ``agent == '*'`` the exact and star tiers coincide,
+    so the precedence switch is the identity there (the q52/q57/q58
+    oracles restate that default-agent form)."""
     lines = (robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
@@ -88,10 +97,14 @@ def _governed_lines(robots: DataFrame, host_col: str,
         "gid", F.sum(starts.cast("int")).over(
             by_pos.rowsBetween(Window.unboundedPreceding, 0)))
     grp = Window.partitionBy("host", "gid")
-    names_me = ua & ((F.col("value") == "*")
-                     | (F.lower("value") == agent.lower()))
+    exact = ua & (F.lower("value") == agent.lower())
+    star = ua & (F.col("value") == "*")
+    has_exact = F.max(exact.cast("int")).over(
+        Window.partitionBy("host")) == 1
+    g_exact = F.max(exact.cast("int")).over(grp) == 1
+    g_star = F.max(star.cast("int")).over(grp) == 1
     return lines.withColumn(
-        "governs", F.max(names_me.cast("int")).over(grp) == 1)
+        "governs", F.when(has_exact, g_exact).otherwise(g_star))
 
 
 def robots_rules(robots: DataFrame, host_col: str = "host",

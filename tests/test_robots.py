@@ -38,10 +38,19 @@ def test_star_group_rules_extracted(spark):
     # imposes nothing and is dropped
 
 
-def test_named_agent_sees_its_group_and_star(spark):
-    got = _rules(spark, agent="GPTBot")  # case-insensitive token match
-    assert ("disallow", "/") in got
-    assert ("disallow", "/private/") in got  # * groups always govern
+def test_named_agent_sees_only_its_group(spark):
+    """RFC 9309 §2.2.1 most-specific-match: gptbot has its own group, so
+    the * groups are IGNORED for it (case-insensitive token match)."""
+    got = _rules(spark, agent="GPTBot")
+    assert got == {("disallow", "/")}
+
+
+def test_agent_without_exact_group_falls_back_to_star(spark):
+    """A named agent with NO exactly-matching group obeys the * groups
+    (RFC 9309 §2.2.1 fallback)."""
+    got = _rules(spark, agent="SomeOtherBot")
+    assert got == _rules(spark)  # identical to the * caller's view
+    assert ("disallow", "/") not in got  # gptbot's group stays invisible
 
 
 def test_rules_before_any_group_are_dropped(spark):
@@ -126,7 +135,11 @@ def test_crawl_delays_min_across_governing_groups(spark):
     # a host with no delay directive is absent
     assert got == {("h.org", 1.0)}
     got = crawl_delays(df, agent="megabot").collect()
-    # the megabot group (30) AND both *-groups govern megabot: min = 1.0
+    # megabot has its own group, so the *-groups' 2.5/1 are ignored
+    # (§2.2.1 precedence) and its own 30 governs
+    assert {(r["host"], r["delay_s"]) for r in got} == {("h.org", 30.0)}
+    # an agent with no exact group falls back to the *-tier min
+    got = crawl_delays(df, agent="otherbot").collect()
     assert {(r["host"], r["delay_s"]) for r in got} == {("h.org", 1.0)}
 
 
