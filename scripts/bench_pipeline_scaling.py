@@ -55,8 +55,37 @@ spark.stop()
                    capture_output=True, text=True, timeout=3600)
 
 
+def _cpu_sample(cores: int) -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) summed over the PINNED cpus 0..cores-1.
+
+    Whole-box sampling dilutes steal with the (32 - cores) idle cpus'
+    jiffies — a 4-core leg on a 32-core box underreports pinned-core steal
+    8×. Summing only the cpus taskset pins the leg to makes steal_pct the
+    share of the leg's *own* cpu-time budget lost to the hypervisor."""
+    steal = total = 0
+    with open("/proc/stat") as fh:
+        for line in fh:
+            f = line.split()
+            if not f or not f[0].startswith("cpu") or f[0] == "cpu":
+                continue
+            if int(f[0][3:]) >= cores:
+                continue
+            vals = [int(x) for x in f[1:]]
+            steal += vals[7] if len(vals) > 7 else 0
+            total += sum(vals)
+    return steal, total
+
+
 def _submit(cores: int, out_dir: str) -> dict:
-    """spark-submit --py-files, process tree pinned to `cores` cores."""
+    """spark-submit --py-files, process tree pinned to `cores` cores.
+
+    Each leg's result carries ``steal_pct`` — hypervisor steal as a share
+    of the PINNED cpus' jiffies during the leg (Δsteal/Δtotal over cpus
+    0..cores-1 from /proc/stat). This box shows near-zero steal idle but
+    loses a large CPU share under load; a leg with elevated steal_pct is
+    an environment reading, not a code reading, and the efficiency
+    computed from it is a lower bound."""
+    s0, t0 = _cpu_sample(cores)
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         "spark-submit", "--master", f"local[{cores}]",
@@ -85,7 +114,10 @@ def _submit(cores: int, out_dir: str) -> dict:
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(out.stderr[-3000:])
-    return json.loads(lines[-1])
+    r = json.loads(lines[-1])
+    s1, t1 = _cpu_sample(cores)
+    r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+    return r
 
 
 def main() -> None:
@@ -126,8 +158,10 @@ def main() -> None:
             f"| FULL PIPELINE{' BUCKETED' if BUCKET else ''}"
             f"{' WEB-EXTRACTOR (messy html)' if EXTRACTOR == 'web' else ''}"
             f" (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
-            f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s) "
-            f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s) "
+            f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s,"
+            f" steal {lo.get('steal_pct', 'n/a')}%) "
+            f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s,"
+            f" steal {hi.get('steal_pct', 'n/a')}%) "
             f"| speedup {result['speedup']}x "
             f"| efficiency {result['scaling_efficiency']} |\n")
 
