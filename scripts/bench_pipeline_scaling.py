@@ -76,6 +76,35 @@ def _cpu_sample(cores: int) -> tuple[int, int]:
     return steal, total
 
 
+def _mem_probe() -> tuple[float, float]:
+    """(triad_gbs, fault_gbs) — a 2-second environment-health probe run
+    before each leg. ``triad`` is single-thread in-place STREAM-style
+    bandwidth over warm pages (this box calm: ~11-12 GB/s); ``fault`` is
+    the same arithmetic over FRESHLY allocated arrays, so its wall is
+    dominated by page-fault servicing — the channel co-tenant pressure
+    and hypervisor ballooning show up in first (observed as low as
+    0.5 GB/s while steal read 0.3%). /proc/stat steal misses both, so a
+    leg can look 'calm' by steal while the memory system is degraded;
+    these two numbers date-stamp the environment each wall was measured
+    in."""
+    import numpy as np
+    import time as _t
+    n = 20_000_000
+    a = np.ones(n); b = np.ones(n); c = np.ones(n)
+    np.add(b, c, out=a)
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        np.multiply(c, 1.5, out=a)
+        np.add(a, b, out=a)
+    triad = 4 * 8 * n * 3 / (_t.perf_counter() - t0) / 1e9
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        x = np.ones(n); y = np.ones(n)
+        x = x + 1.5 * y
+    fault = 4 * 8 * n * 3 / (_t.perf_counter() - t0) / 1e9
+    return round(triad, 1), round(fault, 1)
+
+
 def _submit(cores: int, out_dir: str) -> dict:
     """spark-submit --py-files, process tree pinned to `cores` cores.
 
@@ -84,7 +113,11 @@ def _submit(cores: int, out_dir: str) -> dict:
     0..cores-1 from /proc/stat). This box shows near-zero steal idle but
     loses a large CPU share under load; a leg with elevated steal_pct is
     an environment reading, not a code reading, and the efficiency
-    computed from it is a lower bound."""
+    computed from it is a lower bound. ``triad_gbs``/``fault_gbs``
+    (:func:`_mem_probe`, sampled just before the leg) catch the
+    degradation channel steal misses: co-tenant memory-bus pressure and
+    slow hypervisor page-fault servicing."""
+    triad, fault = _mem_probe()
     s0, t0 = _cpu_sample(cores)
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
@@ -117,6 +150,7 @@ def _submit(cores: int, out_dir: str) -> dict:
     r = json.loads(lines[-1])
     s1, t1 = _cpu_sample(cores)
     r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+    r["triad_gbs"], r["fault_gbs"] = triad, fault
     return r
 
 
@@ -159,9 +193,13 @@ def main() -> None:
             f"{' WEB-EXTRACTOR (messy html)' if EXTRACTOR == 'web' else ''}"
             f" (spark-submit --py-files), {N_DOCS}x{SENTS}-sent pages "
             f"| {lo['triples_per_sec']} triples/s @{LO} ({lo['wall_sec']}s,"
-            f" steal {lo.get('steal_pct', 'n/a')}%) "
+            f" steal {lo.get('steal_pct', 'n/a')}%,"
+            f" triad/fault {lo.get('triad_gbs', 'n/a')}/"
+            f"{lo.get('fault_gbs', 'n/a')} GB/s) "
             f"| {hi['triples_per_sec']} triples/s @{HI} ({hi['wall_sec']}s,"
-            f" steal {hi.get('steal_pct', 'n/a')}%) "
+            f" steal {hi.get('steal_pct', 'n/a')}%,"
+            f" triad/fault {hi.get('triad_gbs', 'n/a')}/"
+            f"{hi.get('fault_gbs', 'n/a')} GB/s) "
             f"| speedup {result['speedup']}x "
             f"| efficiency {result['scaling_efficiency']} |\n")
 
