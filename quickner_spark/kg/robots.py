@@ -21,11 +21,16 @@ Semantics (the practical subset of RFC 9309):
   token + ``*`` covers crawl practice.)
 * ``#`` starts a comment; blank/foreign lines are ignored; rules before
   any User-agent line belong to no group and are dropped (per RFC).
-* rule paths match as plain path prefixes (no ``*``/``$`` wildcards —
-  documented simplification); an empty Disallow imposes nothing and is
+* rule paths match as path prefixes, with the RFC 9309 §2.2.3 special
+  characters (which the RFC says crawlers MUST support): ``*`` matches
+  any octet sequence and a TRAILING ``$`` anchors the rule at the end
+  of the url; a ``$`` anywhere else is a literal octet (the
+  REP-matcher convention). An empty Disallow imposes nothing and is
   dropped, likewise an empty Allow.
-* precedence per URL: the longest matching path wins; on equal length
-  Allow beats Disallow (RFC 9309 §2.2.2); no governing rule -> allowed.
+* precedence per URL: the longest matching rule wins — "most octets"
+  (RFC 9309 §2.2.2) counted over the raw rule text, ``*``/``$``
+  included, the reference REP-matcher's tiebreak; on equal length
+  Allow beats Disallow; no governing rule -> allowed.
 * ``Crawl-delay`` (de-facto extension, not in RFC 9309): seconds per
   governing group; when several governing groups disagree (several
   groups can name the same token) the MINIMUM survives — deterministic,
@@ -49,7 +54,7 @@ per-host fetch ORDER is a per-host total order); apply
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["robots_rules", "frontier_allowed", "crawl_delays",
            "robots_sitemaps", "plan_frontier", "allocate_budget"]
@@ -156,6 +161,26 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
             .where(F.col("sitemap") != ""))
 
 
+def _rule_matches(upath: Column, path: Column) -> Column:
+    """Does rule ``path`` govern url-path ``upath``, with the RFC 9309
+    §2.2.3 special characters: ``*`` = any octet sequence, TRAILING
+    ``$`` = end anchor, ``$`` elsewhere literal. Wildcard-free rules
+    (the overwhelming majority in the wild, and ALL of the oracle
+    corpus — which is why the q52/q57/q58 DuckDB restatements can stay
+    ``starts_with``) take the cheap codegen-able prefix test; only
+    rules carrying a special character pay the regex compile, built
+    Column-side (regex-escape the literal octets, ``*`` → ``.*``,
+    re-anchor) so the whole decision stays JVM-side."""
+    anchored = path.endswith("$")
+    body = F.regexp_replace(path, "\\$$", "")
+    esc = F.regexp_replace(body, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, "\\*", ".*"),
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    wild = path.contains("*") | anchored
+    return F.when(wild, F.regexp_like(upath, rx)) \
+            .otherwise(upath.startswith(path))
+
+
 def frontier_allowed(urls: DataFrame, rules: DataFrame,
                      url_col: str = "url") -> DataFrame:
     """The input frontier plus an ``allowed`` boolean per the rules
@@ -176,7 +201,7 @@ def frontier_allowed(urls: DataFrame, rules: DataFrame,
     keys = u.select(F.col("__h").alias("host"),
                     F.col("__p").alias("upath")).distinct()
     cand = (keys.join(rules, "host")
-            .where(F.col("upath").startswith(F.col("path"))))
+            .where(_rule_matches(F.col("upath"), F.col("path"))))
     # longest match wins; Allow beats Disallow at equal length; the
     # trailing (path, rule) keys only break exact-duplicate-rule ties,
     # deterministically on both engines

@@ -81,6 +81,87 @@ def test_frontier_precedence(spark):
     }
 
 
+def test_wildcard_star_matches_any_octets(spark):
+    """RFC 9309 §2.2.3: ``*`` in a rule path matches any octet
+    sequence (crawlers MUST support it)."""
+    rules = robots_rules(spark.createDataFrame([Row(
+        host="h.org",
+        body="User-agent: *\nDisallow: /*/print\nDisallow: /cgi*bin")]))
+    urls = spark.createDataFrame([Row(url="https://h.org" + p) for p in [
+        "/doc/print",        # * spans 'doc'
+        "/a/b/print",        # * spans multiple segments
+        "/doc/print/x",      # prefix semantics still apply after match
+        "/doc/printable",    # ditto — rule is a prefix, not anchored
+        "/print",            # * must still leave the literal tail intact
+        "/cgibin/q",         # * matches the EMPTY sequence
+        "/cgi-bin/q",        # and a one-octet sequence
+    ]])
+    got = {r["url"].removeprefix("https://h.org"): r["allowed"]
+           for r in frontier_allowed(urls, rules).collect()}
+    assert got == {
+        "/doc/print": False, "/a/b/print": False, "/doc/print/x": False,
+        "/doc/printable": False, "/print": True,
+        "/cgibin/q": False, "/cgi-bin/q": False,
+    }
+
+
+def test_wildcard_trailing_dollar_anchors(spark):
+    """Trailing ``$`` anchors the rule at the url end; a ``$`` anywhere
+    else is a literal octet (REP-matcher convention). The matched
+    string is path+query, so a query defeats an anchored rule."""
+    rules = robots_rules(spark.createDataFrame([Row(
+        host="h.org",
+        body="User-agent: *\nDisallow: /*.php$\nDisallow: /a$b")]))
+    urls = spark.createDataFrame([Row(url="https://h.org" + p) for p in [
+        "/index.php", "/x/y.php", "/index.php?q=1", "/index.phpx",
+        "/a$b/c", "/a-b",
+    ]])
+    got = {r["url"].removeprefix("https://h.org"): r["allowed"]
+           for r in frontier_allowed(urls, rules).collect()}
+    assert got == {
+        "/index.php": False, "/x/y.php": False,
+        "/index.php?q=1": True, "/index.phpx": True,
+        "/a$b/c": False, "/a-b": True,
+    }
+
+
+def test_wildcard_precedence_counts_raw_rule_octets(spark):
+    """Longest-rule precedence counts the RAW rule text, ``*``/``$``
+    included (the reference REP-matcher tiebreak): ``Allow: /page``
+    (5 octets) beats ``Disallow: /*e`` (3), while ``Disallow: /pag*``
+    (5, loses the equal-length tie to Allow) and ``Disallow: /page*``
+    (6) beats it."""
+    def verdict(body, url="https://h.org/page"):
+        rules = robots_rules(spark.createDataFrame(
+            [Row(host="h.org", body="User-agent: *\n" + body)]))
+        urls = spark.createDataFrame([Row(url=url)])
+        return frontier_allowed(urls, rules).head()["allowed"]
+
+    assert verdict("Allow: /page\nDisallow: /*e") is True
+    assert verdict("Allow: /page\nDisallow: /pag*") is True
+    assert verdict("Allow: /page\nDisallow: /page*") is False
+
+
+def test_regex_metachars_in_rule_paths_stay_literal(spark):
+    """Rule paths carrying regex metacharacters must not leak into the
+    compiled pattern: only ``*`` and trailing ``$`` are special."""
+    rules = robots_rules(spark.createDataFrame([Row(
+        host="h.org",
+        body="User-agent: *\nDisallow: /a(b)+c?d.e|f[g]\nDisallow: /x*^y")]))
+    urls = spark.createDataFrame([Row(url="https://h.org" + p) for p in [
+        "/a(b)+c?d.e|f[g]h",   # literal match of every metachar
+        "/abbcde|f[g]",        # would match if (b)+ / ? / . were regex
+        "/x123^y",             # ^ literal after the * wildcard
+        "/x123y",              # would match if ^ vanished as an anchor
+    ]])
+    got = {r["url"].removeprefix("https://h.org"): r["allowed"]
+           for r in frontier_allowed(urls, rules).collect()}
+    assert got == {
+        "/a(b)+c?d.e|f[g]h": False, "/abbcde|f[g]": True,
+        "/x123^y": False, "/x123y": True,
+    }
+
+
 def test_allow_beats_disallow_at_equal_length(spark):
     rules = robots_rules(spark.createDataFrame([Row(
         host="h.org",
