@@ -1217,6 +1217,44 @@ def q65_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     arithmetic="integer", seeds=list(KHOP_SEEDS))
 
 
+def q66_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard rule paths (kg/robots.py): one
+    5-rule ``*`` group per host carrying every special-character
+    shape — an anchored wildcard (``/*.php$``), a mid-rule wildcard
+    spanning empty and multi-octet sequences (``/cgi*bin/``), a
+    wildcard whose raw-octet length beats a shorter plain rule
+    (``Allow: /p/pub*`` vs ``Disallow: /p/``), and a mid-path literal
+    ``$`` (``/a$b``) — decided over a 7-variant frontier (including a
+    query string that defeats the ``$`` anchor and a rule-less path).
+    The oracle restates the Column-built regex compilation (metachar
+    escape, ``*`` → ``.*``, re-anchor) and the wild-vs-prefix match
+    dispatch in DuckDB; the rules table is restated literally (the
+    bodies are parse-trivial constants — parsing itself is pinned by
+    q52/q57/q58)."""
+    from quickner_spark.kg.robots import frontier_allowed, robots_rules
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    host = F.concat(F.lit("w"), k, F.lit(".example.com"))
+    body = F.lit("User-agent: *\nDisallow: /*.php$\nDisallow: /cgi*bin/\n"
+                 "Allow: /p/pub*\nDisallow: /p/\nDisallow: /a$b\n")
+    robots = d.select(host.alias("host"), body.alias("body")).distinct()
+    v, s = i % 7, i.cast("string")
+    path = (F.when(v == 0, F.concat(F.lit("/p/pub"), s))
+            .when(v == 1, F.concat(F.lit("/p/x/"), s))
+            .when(v == 2, F.concat(F.lit("/index"), s, F.lit(".php")))
+            .when(v == 3, F.concat(F.lit("/index"), s, F.lit(".php?q=1")))
+            .when(v == 4, F.when(i % 2 == 0,
+                                 F.concat(F.lit("/cgibin/"), s))
+                           .otherwise(F.concat(F.lit("/cgi-"), s,
+                                               F.lit("-bin/x"))))
+            .when(v == 5, F.concat(F.lit("/a$b/"), s))
+            .otherwise(F.concat(F.lit("/free/"), s)))
+    urls = d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    return frontier_allowed(urls, robots_rules(robots))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1340,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_communities": q63_communities,
         "q64_weighted_pagerank": q64_weighted_pagerank,
         "q65_personalized_pagerank": q65_personalized_pagerank,
+        "q66_robots_wildcards": q66_robots_wildcards,
     }
 
 
@@ -2904,6 +2943,71 @@ cand AS (
   SELECT k.h, k.upath, r.rule, r.path
   FROM ukeys k JOIN rrules r ON r.host = k.h
   WHERE starts_with(k.upath, r.path)
+),
+winner AS (
+  SELECT h, upath, rule FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY h, upath
+        ORDER BY len(path) DESC, (rule = 'allow') DESC, path, rule) AS rn
+    FROM cand)
+  WHERE rn = 1
+)
+SELECT u.url, coalesce(w.rule, 'allow') <> 'disallow' AS allowed
+FROM u LEFT JOIN winner w ON w.h = u.h AND w.upath = u.upath
+""",
+        # q66: RFC 9309 §2.2.3 wildcard rule paths — the Column-built
+        # regex compilation (metachar escape, * -> .*, trailing-$
+        # re-anchor) and the wild-vs-prefix dispatch restated in
+        # DuckDB/RE2. The rules table is restated literally: the bodies
+        # are parse-trivial one-group constants and parsing is pinned
+        # by q52/q57/q58; this oracle pins the MATCHER.
+        "q66_robots_wildcards": r"""
+WITH hosts AS (
+  SELECT DISTINCT 'w' || (doc_id % 10) || '.example.com' AS host
+  FROM documents
+),
+rr(rule, path) AS (VALUES
+  ('disallow', '/*.php$'), ('disallow', '/cgi*bin/'),
+  ('allow', '/p/pub*'), ('disallow', '/p/'), ('disallow', '/a$b')),
+rrules AS (
+  SELECT host, rule, path,
+         contains(path, '*') OR ends_with(path, '$') AS wild,
+         '^' || replace(regexp_replace(regexp_replace(path, '\$$', ''),
+                 '([\\.\[\]{}()+?^$|])', '\\\0', 'g'), '*', '.*')
+             || CASE WHEN ends_with(path, '$') THEN '$' ELSE '' END AS pat
+  FROM hosts, rr
+),
+furls AS (
+  SELECT 'https://w' || (doc_id % 10) || '.example.com'
+         || CASE CAST(doc_id % 7 AS INT)
+              WHEN 0 THEN '/p/pub' || doc_id
+              WHEN 1 THEN '/p/x/' || doc_id
+              WHEN 2 THEN '/index' || doc_id || '.php'
+              WHEN 3 THEN '/index' || doc_id || '.php?q=1'
+              WHEN 4 THEN CASE WHEN doc_id % 2 = 0
+                               THEN '/cgibin/' || doc_id
+                               ELSE '/cgi-' || doc_id || '-bin/x' END
+              WHEN 5 THEN '/a$b/' || doc_id
+              ELSE '/free/' || doc_id
+            END AS url
+  FROM documents
+),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS h,
+         CASE WHEN p = '' THEN '/' ELSE p END AS upath
+  FROM (SELECT url, regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+              '#.*$', '') AS p
+        FROM furls)
+),
+ukeys AS (SELECT DISTINCT h, upath FROM u),
+cand AS (
+  SELECT k.h, k.upath, r.rule, r.path
+  FROM ukeys k JOIN rrules r ON r.host = k.h
+  WHERE CASE WHEN r.wild THEN regexp_matches(k.upath, r.pat)
+             ELSE starts_with(k.upath, r.path) END
 ),
 winner AS (
   SELECT h, upath, rule FROM (
