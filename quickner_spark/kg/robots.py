@@ -161,24 +161,27 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
             .where(F.col("sitemap") != ""))
 
 
-def _rule_matches(upath: Column, path: Column) -> Column:
-    """Does rule ``path`` govern url-path ``upath``, with the RFC 9309
-    §2.2.3 special characters: ``*`` = any octet sequence, TRAILING
-    ``$`` = end anchor, ``$`` elsewhere literal. Wildcard-free rules
-    (the overwhelming majority in the wild, and ALL of the oracle
-    corpus — which is why the q52/q57/q58 DuckDB restatements can stay
-    ``starts_with``) take the cheap codegen-able prefix test; only
-    rules carrying a special character pay the regex compile, built
-    Column-side (regex-escape the literal octets, ``*`` → ``.*``,
-    re-anchor) so the whole decision stays JVM-side."""
+def _compiled_rules(rules: DataFrame) -> DataFrame:
+    """``rules`` + ``(__wild, __rx)`` — the RFC 9309 §2.2.3 rule-path
+    matcher compiled ONCE per rule row: ``*`` = any octet sequence,
+    TRAILING ``$`` = end anchor, ``$`` elsewhere literal. The regex is
+    built Column-side (regex-escape the literal octets, ``*`` → ``.*``,
+    re-anchor — no UDF) as a |rules|-sized projection that Catalyst
+    keeps BELOW the frontier join, so the escape chain never re-runs
+    per candidate (host, path)×rule pair. Wildcard-free rules (the
+    overwhelming majority in the wild, and ALL of the oracle corpus —
+    which is why the q52/q57/q58 DuckDB restatements can stay
+    ``starts_with``) are flagged ``__wild=false`` and take the cheap
+    codegen-able prefix test at match time; q66 oracle-pins the
+    wildcard dispatch itself."""
+    path = F.col("path")
     anchored = path.endswith("$")
     body = F.regexp_replace(path, "\\$$", "")
     esc = F.regexp_replace(body, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
     rx = F.concat(F.lit("^"), F.regexp_replace(esc, "\\*", ".*"),
                   F.when(anchored, F.lit("$")).otherwise(F.lit("")))
-    wild = path.contains("*") | anchored
-    return F.when(wild, F.regexp_like(upath, rx)) \
-            .otherwise(upath.startswith(path))
+    return (rules.withColumn("__wild", path.contains("*") | anchored)
+            .withColumn("__rx", rx))
 
 
 def frontier_allowed(urls: DataFrame, rules: DataFrame,
@@ -200,8 +203,11 @@ def frontier_allowed(urls: DataFrame, rules: DataFrame,
                .otherwise(F.col("__p")))
     keys = u.select(F.col("__h").alias("host"),
                     F.col("__p").alias("upath")).distinct()
-    cand = (keys.join(rules, "host")
-            .where(_rule_matches(F.col("upath"), F.col("path"))))
+    cand = (keys.join(_compiled_rules(rules), "host")
+            .where(F.when(F.col("__wild"),
+                          F.regexp_like(F.col("upath"), F.col("__rx")))
+                   .otherwise(F.col("upath").startswith(F.col("path"))))
+            .drop("__wild", "__rx"))
     # longest match wins; Allow beats Disallow at equal length; the
     # trailing (path, rule) keys only break exact-duplicate-rule ties,
     # deterministically on both engines
