@@ -121,16 +121,24 @@ def crawl(seeds: DataFrame,
     # dominant state and rewriting it per round is O(rounds · |seen|)
     # wasted I/O.
     seen_parts: list[DataFrame] = []
+    # canonicalize the seed frontier exactly like discovered candidates
+    # (min raw url per canonical key) — the loop's invariant is that
+    # EVERY round's frontier is unique per canonical key, and seeds
+    # differing only by fragment / tracking params must not be fetched
+    # twice nor emit duplicate keys into the seen delta
+    seed_keys = (seeds.select(F.col(url_col).alias("url"),
+                              normalize_url(F.col(url_col))
+                              .alias("url_norm"))
+                 .groupBy("url_norm").agg(F.min("url").alias("url"))
+                 .localCheckpoint())
     if not budgeted:
         # fast path: with no budget every enqueued url is decided this
         # round (planned or robots-disallowed), so the frontier itself is
         # the seen delta — record it up front and reuse the one per-round
         # localCheckpoint of `fresh` for both the delta and the next
         # frontier (no second materialization).
-        seen_parts.append(seeds.select(normalize_url(F.col(url_col))
-                                       .alias("url_norm"))
-                          .distinct().localCheckpoint())
-    frontier = seeds.select(F.col(url_col).alias("url")).distinct()
+        seen_parts.append(seed_keys.select("url_norm"))
+    frontier = seed_keys.select("url")
     n = frontier.count()
     all_pages: DataFrame | None = None
     page_parts: list[DataFrame] = []

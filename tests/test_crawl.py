@@ -71,6 +71,26 @@ def test_crawl_bfs_rounds_and_robots_and_dedup(spark):
     assert "https://h.org/d" in seen
 
 
+def test_crawl_seed_canonical_dedup(spark):
+    """Seeds sharing a canonical key (fragment / tracking params) are
+    fetched ONCE — the frontier's unique-per-canonical-key invariant
+    holds for round 0 too, in both the fast and the budgeted path."""
+    web = _web(spark)
+    robots = _robots(spark)
+    seeds = spark.createDataFrame([Row(url=u) for u in [
+        "https://h.org/seed", "https://h.org/seed#frag",
+        "https://h.org/seed?utm_campaign=z"]])
+    for budget in (None, 10):
+        res = crawl(seeds, _fetcher(web), robots_rules(robots),
+                    rounds=1, budget_per_host=budget)
+        # min raw url per key is the deterministic representative
+        assert [r["url"] for r in res.pages.collect()] \
+            == ["https://h.org/seed"]
+        assert res.frontier_sizes == [1]
+        assert res.seen.where(
+            F.col("url_norm") == "https://h.org/seed").count() == 1
+
+
 def test_crawl_early_stop_and_determinism(spark):
     web = _web(spark)
     robots = _robots(spark)
