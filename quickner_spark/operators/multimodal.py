@@ -6,11 +6,19 @@ operator takes a ``decoder=`` callable; the default is resolved by
 :func:`default_image_decoder` / :func:`default_audio_decoder`, which pick
 the real library-backed decoder (PIL / soundfile) when the library is
 importable — same gated-import pattern as pyahocorasick in
-``matcher.py`` — and the deterministic stub otherwise (this container
-ships neither library). Swapping in a production codec is therefore a
-zero-plan-change operation: pass the callable, or install the library.
-The seam itself is proven by a contract test that injects a fake "real"
-decoder (``tests/test_multimodal.py``).
+``matcher.py``. Without those libraries the default is the AUTO decoder
+(:func:`decode_image_auto` / :func:`decode_audio_auto`): a REAL
+stdlib+numpy parser for the formats it recognizes by magic bytes —
+binary PPM/PGM (P6/P5), uncompressed 24/32-bit BI_RGB BMP, and PCM WAV
+via the stdlib ``wave`` module — falling back to the deterministic stub
+only for unrecognized payloads (so synthetic fixtures keep their stable
+values while real media decodes for real). Recognized-but-corrupt
+payloads return None — the same error contract a library codec has.
+Swapping in a production codec is therefore a zero-plan-change
+operation: pass the callable, or install the library. The seam is
+proven both by contract tests that inject a fake "real" decoder
+(``tests/test_multimodal.py``) and by end-to-end Spark runs over
+genuine PPM/BMP/WAV bytes (``tests/test_multimodal_codecs.py``).
 
 Design rules for 100 TB of media:
 * media bytes travel in their own column; metadata predicates (mime, width,
@@ -32,11 +40,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["decode_image_stub", "decode_image_pil", "default_image_decoder",
+__all__ = ["decode_image_stub", "decode_image_pil", "decode_image_ppm",
+           "decode_image_bmp", "decode_image_auto", "default_image_decoder",
            "image_features", "frame_sample", "decode_frame_stub",
            "resize_stub", "resize_images", "decode_audio_stub",
-           "decode_audio_soundfile", "default_audio_decoder",
-           "audio_features"]
+           "decode_audio_soundfile", "decode_audio_wav", "decode_audio_auto",
+           "default_audio_decoder", "audio_features"]
 
 FEATURE_DIM = 16
 
@@ -83,11 +92,109 @@ def decode_image_pil(data: bytes) -> np.ndarray | None:
         return None
 
 
+def decode_image_ppm(data: bytes) -> np.ndarray | None:
+    """REAL pure-stdlib decoder for binary Netpbm images — P6 (PPM, RGB)
+    and P5 (PGM, grayscale replicated to 3 channels), 8-bit maxval.
+    Header tokens may be separated by any whitespace and ``#`` comments
+    per the Netpbm spec; exactly one whitespace byte separates the maxval
+    token from the raster. Returns (h, w, 3) uint8 RGB, or None for
+    empty / truncated / >8-bit payloads (the corrupt-payload contract)."""
+    if not data or data[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if data[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    n = len(data)
+    while len(tokens) < 3:
+        while pos < n and data[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not data[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return None  # ran off the end mid-header
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace byte after maxval, then raw raster
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:  # 16-bit Netpbm: corrupt
+        return None
+    need = w * h * channels
+    raster = data[pos:pos + need]
+    if len(raster) != need:
+        return None
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def decode_image_bmp(data: bytes) -> np.ndarray | None:
+    """REAL pure-stdlib decoder for uncompressed (BI_RGB) 24/32-bit BMP
+    with a BITMAPINFOHEADER-family DIB header. Handles 4-byte row padding
+    and both bottom-up (height > 0) and top-down (height < 0) rasters;
+    pixel order in the file is BGR(A) — output is (h, w, 3) uint8 RGB.
+    None for anything else (paletted, RLE, core-header) — corrupt/
+    unsupported payloads share one error contract."""
+    if not data or data[:2] != b"BM" or len(data) < 54:
+        return None
+
+    def _u32(o: int) -> int:
+        return int.from_bytes(data[o:o + 4], "little")
+
+    def _i32(o: int) -> int:
+        return int.from_bytes(data[o:o + 4], "little", signed=True)
+
+    pixel_off = _u32(10)
+    dib_size = _u32(14)
+    if dib_size < 40:  # BITMAPCOREHEADER etc. — unsupported
+        return None
+    w, h_raw = _i32(18), _i32(22)
+    bitcount = int.from_bytes(data[28:30], "little")
+    compression = _u32(30)
+    if w <= 0 or h_raw == 0 or bitcount not in (24, 32) or compression != 0:
+        return None
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    bpp = bitcount // 8
+    stride = (bitcount * w + 31) // 32 * 4  # rows pad to 4-byte boundary
+    raster = data[pixel_off:pixel_off + stride * h]
+    if pixel_off < 14 + dib_size or len(raster) != stride * h:
+        return None
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, :w * bpp].reshape(h, w, bpp)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image_auto(data: bytes) -> np.ndarray | None:
+    """The no-library default: magic-byte dispatch to the REAL stdlib
+    decoders (P6/P5 → :func:`decode_image_ppm`, ``BM`` →
+    :func:`decode_image_bmp`), stub fallback for unrecognized payloads
+    (keeps synthetic fixtures' deterministic values), None for empty or
+    recognized-but-corrupt bytes."""
+    if not data:
+        return None
+    if data[:2] in (b"P6", b"P5"):
+        return decode_image_ppm(data)
+    if data[:2] == b"BM":
+        return decode_image_bmp(data)
+    return decode_image_stub(data)
+
+
 def default_image_decoder() -> Callable[[bytes], np.ndarray | None]:
     """The codec seam's default: PIL-backed when PIL is importable, the
-    deterministic stub otherwise. Resolved once on the driver; the chosen
-    module-level function ships in the UDF closure."""
-    return decode_image_pil if _HAVE_PIL else decode_image_stub
+    AUTO decoder (real stdlib PPM/BMP, stub fallback) otherwise. Resolved
+    once on the driver; the chosen module-level function ships in the UDF
+    closure."""
+    return decode_image_pil if _HAVE_PIL else decode_image_auto
 
 
 def image_features(df: DataFrame, bytes_col: str = "data",
@@ -156,7 +263,14 @@ def frame_sample(df: DataFrame, bytes_col: str = "data",
                     keys.append(k)
                     idxs.append(fi)
                     feats.append([float(h) / total for h in hist])
-            yield pd.DataFrame({key_col: keys, "frame": idxs, "feature": feats})
+            # explicit dtypes: this is the one kernel that SKIPS rows, so a
+            # partition of all-undecodable media yields empty lists — pandas
+            # would infer float64 columns, which Arrow cannot cast to
+            # list<float> (worker crash). Object dtype keeps the cast valid
+            # for empty and non-empty batches alike.
+            yield pd.DataFrame({key_col: pd.Series(keys, dtype="int64"),
+                                "frame": pd.Series(idxs, dtype="int32"),
+                                "feature": pd.Series(feats, dtype=object)})
 
     return df.select(key_col, bytes_col).mapInPandas(
         gen, f"{key_col} long, frame int, feature array<float>")
@@ -233,9 +347,62 @@ def decode_audio_soundfile(data: bytes) -> np.ndarray | None:
     return wave
 
 
+def decode_audio_wav(data: bytes) -> np.ndarray | None:
+    """REAL pure-stdlib decoder for PCM WAV via the ``wave`` module:
+    8-bit unsigned, 16/32-bit signed, and 24-bit packed LE samples →
+    mono float32 waveform in [-1, 1) (channels downmixed by mean). None
+    for corrupt / non-PCM payloads — ``wave`` raises on compressed
+    formats, which folds into the same error contract."""
+    if not data:
+        return None
+    import io
+    import wave as wave_mod
+    try:
+        with wave_mod.open(io.BytesIO(data), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    if n_ch < 1 or not frames:
+        return None
+    if width == 1:  # 8-bit WAV is unsigned with a 128 midpoint
+        samples = (np.frombuffer(frames, dtype=np.uint8)
+                   .astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # 24-bit packed: widen to int32 via a zero LSB byte
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = raw
+        samples = (padded.view("<i4").ravel().astype(np.float32)
+                   / 2147483648.0)
+    elif width == 4:
+        samples = (np.frombuffer(frames, dtype="<i4").astype(np.float32)
+                   / 2147483648.0)
+    else:
+        return None
+    if n_ch > 1:
+        samples = samples[:len(samples) // n_ch * n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples.astype(np.float32)
+
+
+def decode_audio_auto(data: bytes) -> np.ndarray | None:
+    """The no-library default: ``RIFF....WAVE`` magic →
+    :func:`decode_audio_wav`, stub fallback for unrecognized payloads,
+    None for empty or recognized-but-corrupt bytes."""
+    if not data:
+        return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_audio_wav(data)
+    return decode_audio_stub(data)
+
+
 def default_audio_decoder() -> Callable[[bytes], np.ndarray | None]:
-    """soundfile-backed when importable, deterministic stub otherwise."""
-    return decode_audio_soundfile if _HAVE_SOUNDFILE else decode_audio_stub
+    """soundfile-backed when importable, the AUTO decoder (real stdlib
+    PCM WAV, stub fallback) otherwise."""
+    return decode_audio_soundfile if _HAVE_SOUNDFILE else decode_audio_auto
 
 
 def audio_features(df: DataFrame, bytes_col: str = "data",

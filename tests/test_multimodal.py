@@ -44,6 +44,16 @@ def test_frame_sample_one_to_many(media):
     assert not [r for r in per_key if r["media_id"] == 99]  # empty skipped
 
 
+def test_frame_sample_all_undecodable_partition(spark):
+    """frame_sample is the one kernel that SKIPS rows — a partition whose
+    every payload fails to decode must yield a typed empty batch, not an
+    Arrow list<float> cast crash (regression: empty pandas lists infer
+    float64)."""
+    df = spark.createDataFrame([(99, b""), (100, b"")],
+                               "media_id long, data binary").repartition(4)
+    assert frame_sample(df).count() == 0
+
+
 def test_media_plan_prunes_metadata(spark):
     # blob column must not be read when only metadata is queried
     rows = [(1, b"abc", "image/jpeg")]
@@ -116,14 +126,15 @@ def _make_fake_audio_decoder():
 
 
 def test_default_decoder_resolution_matches_library_presence():
-    """In THIS container (no PIL/soundfile) the defaults are the stubs;
-    the gated-import flags and the chooser must agree."""
+    """In THIS container (no PIL/soundfile) the defaults are the AUTO
+    decoders (real stdlib PPM/BMP/WAV, stub fallback); the gated-import
+    flags and the chooser must agree."""
     from quickner_spark.operators import multimodal as mm
     assert mm.default_image_decoder() is (
-        mm.decode_image_pil if mm._HAVE_PIL else mm.decode_image_stub)
+        mm.decode_image_pil if mm._HAVE_PIL else mm.decode_image_auto)
     assert mm.default_audio_decoder() is (
         mm.decode_audio_soundfile if mm._HAVE_SOUNDFILE
-        else mm.decode_audio_stub)
+        else mm.decode_audio_auto)
 
 
 def test_injected_image_decoder_contract(spark):
