@@ -1255,6 +1255,100 @@ def q66_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_allowed(urls, robots_rules(robots))
 
 
+def q67_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image pipeline over REAL media bytes
+    (operators/multimodal.py): each document row synthesizes a genuine
+    binary PPM (P6, 4x4, maxval 255) whose 48 raster bytes derive
+    deterministically from doc_id ((id*31 + j*7) mod 256); every 7th id
+    truncates the raster (recognized-but-corrupt -> decode None, the
+    error path). image_features decodes via the pure-stdlib AUTO codec
+    and emits a 16-bin normalized histogram, posexploded to scalar rows.
+    The oracle restates decode+histogram arithmetically: bin = byte div
+    16 (np.histogram over range (0,256) with 16 bins), feature =
+    count/48.0 double-rounded to REAL — bit-identical to Spark's
+    float32, since both engines round the same exact double."""
+    import pandas as pd  # noqa: PLC0415
+
+    from quickner_spark.operators.multimodal import (decode_image_auto,
+                                                     image_features)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"].values:
+                i = int(i)
+                n = 10 if i % 7 == 0 else 48
+                raster = bytes((i * 31 + j * 7) % 256 for j in range(n))
+                ids.append(i)
+                blobs.append(b"P6\n4 4\n255\n" + raster)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "data": pd.Series(blobs, dtype=object)})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    feats = image_features(media, decoder=decode_image_auto)
+    return feats.select(
+        "media_id", "ok",
+        F.posexplode("feature").alias("bin", "feature")
+    ).select("media_id", "ok", F.col("bin").cast("int").alias("bin"),
+             "feature")
+
+
+def q68_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio pipeline over REAL PCM WAV bytes
+    (operators/multimodal.py): each document row synthesizes a genuine
+    mono 16-bit WAV (stdlib ``wave`` writer, 64 samples) whose sample
+    values are m*256 with m = ((id*13 + j*29) mod 256) - 128 — chosen so
+    every decoded float32 (m/128), product, and windowed mean is EXACT
+    in binary32, leaving sqrt as the only rounding step on either
+    engine (correctly-rounded f64 sqrt then f32 cast == f32 sqrt, the
+    innocuous-double-rounding bound 53 >= 2*24+2). Every 7th id emits
+    an empty payload (decode None -> ok false, zero features).
+    audio_features decodes via the stdlib AUTO codec and emits 8-window
+    RMS (posexploded) + the zero-crossing count; the oracle restates
+    the window mean, sqrt, and sign-change lag scan in SQL."""
+    import pandas as pd  # noqa: PLC0415
+
+    from quickner_spark.operators.multimodal import (audio_features,
+                                                     decode_audio_auto)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"].values:
+                i = int(i)
+                ids.append(i)
+                if i % 7 == 0:
+                    blobs.append(b"")
+                    continue
+                m = np.array([(i * 13 + j * 29) % 256 - 128
+                              for j in range(64)], dtype=np.int32) * 256
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(m.astype("<i2").tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "data": pd.Series(blobs, dtype=object)})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    feats = audio_features(media, n_windows=8, decoder=decode_audio_auto)
+    return feats.select(
+        "media_id", "ok", F.posexplode("rms").alias("win", "rms"),
+        "zero_crossings"
+    ).select("media_id", "ok", F.col("win").cast("int").alias("win"),
+             "rms", "zero_crossings")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full mention extraction."""
     return q01_mentions(spark, "/root/testdata/sf0.001")
@@ -1379,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_weighted_pagerank": q64_weighted_pagerank,
         "q65_personalized_pagerank": q65_personalized_pagerank,
         "q66_robots_wildcards": q66_robots_wildcards,
+        "q67_image_features": q67_image_features,
+        "q68_audio_features": q68_audio_features,
     }
 
 
@@ -3019,6 +3115,76 @@ winner AS (
 )
 SELECT u.url, coalesce(w.rule, 'allow') <> 'disallow' AS allowed
 FROM u LEFT JOIN winner w ON w.h = u.h AND w.upath = u.upath
+""",
+        # q67: PPM decode + 16-bin histogram restated arithmetically —
+        # raster byte j = (id*31 + j*7) mod 256, histogram bin = byte
+        # div 16 (np.histogram bins=16 over (0,256)), feature =
+        # count/48.0 rounded once to REAL (same exact double -> same
+        # float32 bits as Spark). id%7==0 rows are corrupt (truncated
+        # raster -> decode None): ok false, 16 zero features.
+        "q67_image_features": r"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 7 = 0 AS corrupt FROM documents
+),
+b AS (
+  SELECT media_id, ((media_id * 31 + j.j * 7) % 256) // 16 AS bin
+  FROM m, generate_series(0, 47) AS j(j)
+  WHERE NOT corrupt
+),
+hist AS (
+  SELECT media_id, bin, count(*) AS c FROM b GROUP BY media_id, bin
+),
+grid AS (
+  SELECT media_id, corrupt, g.g AS bin
+  FROM m, generate_series(0, 15) AS g(g)
+)
+SELECT g.media_id, NOT g.corrupt AS ok, CAST(g.bin AS INT) AS bin,
+       CAST(CASE WHEN g.corrupt THEN 0.0
+                 ELSE coalesce(h.c, 0) / 48.0 END AS REAL) AS feature
+FROM grid g
+LEFT JOIN hist h ON h.media_id = g.media_id AND h.bin = g.bin
+""",
+        # q68: PCM WAV decode + windowed RMS + zero crossings restated —
+        # sample m = (id*13 + j*29) mod 256 - 128, decoded float is
+        # m/128 (exact f32), window RMS = sqrt(sum(m^2)/16384/8) with
+        # one f64 sqrt then REAL cast (innocuous double rounding);
+        # zero crossings = sign changes over the lag scan. id%7==0
+        # rows are empty payloads: ok false, zero rms/crossings.
+        "q68_audio_features": r"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 7 = 0 AS corrupt FROM documents
+),
+samp AS (
+  SELECT media_id, j.j AS j,
+         (media_id * 13 + j.j * 29) % 256 - 128 AS mv
+  FROM m, generate_series(0, 63) AS j(j)
+  WHERE NOT corrupt
+),
+win AS (
+  SELECT media_id, j // 8 AS win,
+         sqrt(sum(CAST(mv AS DOUBLE) * mv) / 16384.0 / 8.0) AS rms_d
+  FROM samp GROUP BY media_id, j // 8
+),
+zc AS (
+  SELECT media_id,
+         sum(CASE WHEN (mv < 0) <> (pmv < 0) THEN 1 ELSE 0 END) AS z
+  FROM (SELECT media_id, mv,
+               lag(mv) OVER (PARTITION BY media_id ORDER BY j) AS pmv
+        FROM samp)
+  WHERE pmv IS NOT NULL
+  GROUP BY media_id
+),
+grid AS (
+  SELECT media_id, corrupt, g.g AS win
+  FROM m, generate_series(0, 7) AS g(g)
+)
+SELECT g.media_id, NOT g.corrupt AS ok, CAST(g.win AS INT) AS win,
+       CAST(CASE WHEN g.corrupt THEN 0.0 ELSE w.rms_d END AS REAL) AS rms,
+       CAST(CASE WHEN g.corrupt THEN 0
+                 ELSE coalesce(z.z, 0) END AS INT) AS zero_crossings
+FROM grid g
+LEFT JOIN win w ON w.media_id = g.media_id AND w.win = g.win
+LEFT JOIN zc z ON z.media_id = g.media_id
 """,
         # q46: anchor-text alias-prior dictionary — paired href+text
         # capture (list_zip of the two capture streams, z[1]/z[2]),
