@@ -2197,8 +2197,10 @@ spans AS (
 ),
 dt AS (SELECT doc_id, lower(text) AS text FROM documents)
 SELECT dt.doc_id,
-       '{{"id":' || dt.doc_id || ',"text":"' || dt.text || '","label":['
-         || coalesce(sp, '') || ']}}' AS value
+       '{{"id":' || dt.doc_id || ',"text":'
+         || CASE WHEN dt.text IS NULL THEN 'null'
+                 ELSE '"' || dt.text || '"' END
+         || ',"label":[' || coalesce(sp, '') || ']}}' AS value
 FROM dt LEFT JOIN spans USING (doc_id)
 """,
         "q37_spacy_export": f"""
@@ -2211,7 +2213,9 @@ spans AS (
 ),
 dt AS (SELECT doc_id, lower(text) AS text FROM documents)
 SELECT dt.doc_id,
-       '["' || dt.text || '",{{"entity":[' || coalesce(sp, '') || ']}}]' AS value
+       '[' || CASE WHEN dt.text IS NULL THEN 'null'
+                   ELSE '"' || dt.text || '"' END
+         || ',{{"entity":[' || coalesce(sp, '') || ']}}]' AS value
 FROM dt LEFT JOIN spans USING (doc_id)
 """,
         # q35: the window restatement of q12 — mentions carry their
@@ -2249,12 +2253,14 @@ WHERE rn = 1
         # same md5 digests, same left-join skip condition
         "q39_snapshot_delta": """
 WITH old AS (
-  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 11 <> 0
+  SELECT doc_id, md5(text) AS digest FROM documents
+  WHERE doc_id % 11 <> 0 AND text IS NOT NULL
 ), new AS (
   SELECT doc_id,
          md5(CASE WHEN doc_id % 7 = 0 THEN text || 'X' ELSE text END)
            AS digest
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT n.doc_id, n.digest,
        CASE WHEN o.doc_id IS NULL THEN 'new' ELSE 'changed' END AS status,

@@ -78,13 +78,23 @@ def snapshot_delta(new_digests: DataFrame, old_manifest: DataFrame,
     is the snapshot partition whose rows the update must subtract from
     the cumulative aggregates. The digest-as-skip-condition is sound
     because every doc-local stage is a pure function of the page bytes
-    (byte-identical extraction per url — BASELINE.json input_hint)."""
+    (byte-identical extraction per url — BASELINE.json input_hint).
+
+    NULL digests (a page whose content column was NULL — failed fetch,
+    empty capture) are excluded on BOTH sides: ``__od IS NULL`` is the
+    key-absence test, so a NULL digest in the manifest would otherwise
+    read as "absent" and the page would reclassify 'new' — and reprocess
+    — on EVERY snapshot. Undigestable pages are treated as not part of
+    either snapshot (the NULL-text policy shared with the sketch
+    operators)."""
     om_cols = [F.col(key_col), F.col(digest_col).alias("__od")]
     has_snap = "snap" in old_manifest.columns
     if has_snap:
         om_cols.append(F.col("snap").alias("__os"))
-    om = old_manifest.select(*om_cols)
-    joined = new_digests.select(key_col, digest_col).join(om, key_col, "left")
+    om = (old_manifest.where(F.col(digest_col).isNotNull())
+          .select(*om_cols))
+    joined = (new_digests.where(F.col(digest_col).isNotNull())
+              .select(key_col, digest_col).join(om, key_col, "left"))
     return (joined
             .where(F.col("__od").isNull()
                    | (F.col("__od") != F.col(digest_col)))

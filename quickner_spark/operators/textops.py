@@ -73,7 +73,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     stop_pct = pct(n_stop, n_tok)
     distinct_pct = pct(n_distinct, n_tok)
     punct_pct = pct(n_punct, n_chars)
-    length_ok = ((n_chars >= 50) & (n_chars <= 100_000)).cast("long")
+    # coalesce: NULL text must score length_ok=0 (a NULL here would
+    # poison the composite into NULL instead of the no-signal base)
+    length_ok = F.coalesce((n_chars >= 50) & (n_chars <= 100_000),
+                           F.lit(False)).cast("long")
     # composite: reward stopword presence (fluency), lexical diversity,
     # low punctuation noise, sane length
     score = (F.least(stop_pct * 2, F.lit(30).cast("long"))
@@ -116,7 +119,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
         .alias("lang_guess"),
-        best["hits"].alias("lang_hits"),
+        # NULL text -> ('und', NULL): without the guard the aggregate's
+        # -1 init value leaks (every NULL-vs-acc comparison keeps acc).
+        F.when(F.col(text_col).isNotNull(), best["hits"])
+        .alias("lang_hits"),
     )
 
 
@@ -469,7 +475,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``hash_family="portable"``: the 64 token-hash bits come from md5
     instead — bits 0..59 from the low 60 bits of md5(token), bits 60..63
     from the (independent) second md5 half — so the identical fingerprint
-    is computable in DuckDB (oracle q15). Production default xxhash64."""
+    is computable in DuckDB (oracle q15). Production default xxhash64.
+
+    NULL-text rows are DROPPED (no tokens -> no fingerprint; a NULL
+    sketch cannot participate in dedup and would only ride shuffles)."""
+    df = df.where(F.col(text_col).isNotNull())
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
     # constant array of the 64 bit masks; shiftleft keeps the arithmetic on

@@ -135,7 +135,13 @@ def conll_lines(df: DataFrame, keep_cols: tuple[str, ...] = (),
     ``max_spans`` (in the caller's sort order — (start, end, label) by
     convention) are dropped from tagging, bounding per-document work at
     O(words x max_spans); the same drop-the-degenerate-tail philosophy as
-    the LSH ``max_bucket`` cap. Default None tags every span."""
+    the LSH ``max_bucket`` cap. Default None tags every span.
+
+    NULL-text documents are DROPPED: they would emit an empty sentence
+    block, which CoNLL readers parse as a spurious boundary (the JSON
+    sinks instead keep the row with ``"text":null`` — a structured
+    format can carry the null; a positional one cannot)."""
+    df = df.where(F.col("text").isNotNull())
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     label_src = F.coalesce("label", F.array())
     if max_spans is not None:

@@ -1,0 +1,92 @@
+"""NULL-text policy (round-5 robustness sweep over NULL-bearing clones).
+
+At web scale some rows always arrive with NULL text (failed fetches,
+empty captures, decode errors). The engine's documented policy:
+
+* per-doc METRICS keep the row with defined outputs — ``lang_id`` ->
+  ('und', NULL hits), ``quality_score`` -> the no-signal base (NULL
+  percents' components 0, length_ok 0);
+* SKETCHES drop the row (a NULL fingerprint cannot participate in dedup
+  and would only ride shuffles) — ``simhash64``;
+* STRUCTURED sinks keep the row carrying an explicit JSON null
+  (``jsonl_lines``/``spacy_lines`` — dropping documents in a sink is
+  silent data loss); POSITIONAL sinks drop it (``conll_lines`` — an
+  empty CoNLL block reads as a spurious sentence boundary);
+* ``snapshot_delta`` excludes NULL digests on BOTH sides — a NULL
+  manifest digest otherwise reads as key-absence and the page
+  reclassifies 'new' (reprocesses) on every snapshot.
+
+The full 68-query oracle gate over a NULL-bearing clone of the testdata
+(text NULL for doc_id%5==0) agrees with these semantics; this file pins
+them at unit cost.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickner_spark.operators import textops as tx
+from quickner_spark.sinks.formats import (conll_lines, jsonl_lines,
+                                          spacy_lines)
+from quickner_spark.kg.delta import snapshot_delta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "the spark data engine"), (2, None), (3, "hash join sort")],
+        "doc_id long, text string")
+
+
+def test_simhash_drops_null_text(docs):
+    out = tx.simhash64(docs, hash_family="portable")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_lang_id_null_text_is_und_with_null_hits(docs):
+    rows = {r["doc_id"]: r for r in tx.lang_id(docs).collect()}
+    assert rows[2]["lang_guess"] == "und"
+    assert rows[2]["lang_hits"] is None
+    assert rows[1]["lang_guess"] == "en" and rows[1]["lang_hits"] > 0
+
+
+def test_quality_score_null_text_no_signal_base(docs):
+    rows = {r["doc_id"]: r for r in tx.quality_score(docs).collect()}
+    r = rows[2]
+    assert r["n_chars_text"] is None and r["n_tokens"] is None
+    assert r["stop_pct"] == 0 and r["punct_pct"] == 0
+    # composite: 0 (stop) + 0 (distinct) + 20 (no punct noise) + 0 (len)
+    assert r["quality"] == 20
+
+
+def test_json_sinks_keep_null_text_rows(docs):
+    d = docs.withColumn("label", F.expr(
+        "cast(array() as array<struct<start:long,end:long,label:string>>)"
+    )).withColumnRenamed("doc_id", "id")
+    j = {r["id"]: r["value"]
+         for r in jsonl_lines(d, keep_cols=("id",)).collect()}
+    assert j[2] == '{"id":2,"text":null,"label":[]}'
+    s = {r["id"]: r["value"]
+         for r in spacy_lines(d, keep_cols=("id",)).collect()}
+    assert s[2] == '[null,{"entity":[]}]'
+
+
+def test_conll_sink_drops_null_text_rows(docs):
+    d = docs.withColumn("label", F.expr(
+        "cast(array() as array<struct<start:long,end:long,label:string>>)"))
+    out = conll_lines(d, keep_cols=("doc_id",))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_snapshot_delta_excludes_null_digests(spark):
+    old = spark.createDataFrame(
+        [("a", "d1"), ("b", None)], "url string, digest string")
+    new = spark.createDataFrame(
+        [("a", "d1x"), ("b", None), ("c", "d3")],
+        "url string, digest string")
+    rows = {r["url"]: r["status"]
+            for r in snapshot_delta(new, old).collect()}
+    # 'b' is excluded outright — previously its NULL manifest digest read
+    # as key-absence and it reclassified 'new' every snapshot
+    assert rows == {"a": "changed", "c": "new"}
