@@ -1503,8 +1503,9 @@ def _lsh_sig_cte(n_planes: int, n_tables: int, seed: int) -> str:
 v AS (SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-      FROM embeddings),
-dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+      FROM embeddings WHERE embedding IS NOT NULL),
+dims AS (SELECT len(embedding) AS dim FROM embeddings
+         WHERE embedding IS NOT NULL LIMIT 1),
 planes AS (
   SELECT t.i // ({n_planes} * dim) AS tbl,
          (t.i // dim) % {n_planes} AS plane,
@@ -1534,7 +1535,7 @@ def _ivf_cte(nlist: int, nprobe: int, iters: int, k: int,
 v AS (SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
 vexp AS (SELECT vec_id, t.i AS d, q[t.i + 1] AS x
          FROM v, LATERAL (SELECT unnest(range(len(q))) AS i) t),
 hs AS (SELECT vec_id,
@@ -1783,7 +1784,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id IN ({probe_list})),
 scored AS (
@@ -1888,7 +1889,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (
   SELECT vec_id, qv,
@@ -1998,7 +1999,7 @@ cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
 q100 AS (SELECT vec_id,
                 list_transform(embedding,
                                x -> CAST(round(CAST(x AS DOUBLE)*100) AS BIGINT)) AS q
-         FROM embeddings),
+         FROM embeddings WHERE embedding IS NOT NULL),
 nrm AS (SELECT vec_id, q,
                CAST(list_sum(list_transform(range(1, len(q) + 1),
                                             i -> q[i] * q[i])) AS BIGINT) AS n2

@@ -20,6 +20,15 @@ __all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
            "embedding_dup_pairs", "lsh_dup_pairs"]
 
 
+def _nonnull_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL-vector policy, shared by every similarity entry point: a row
+    with a NULL embedding cannot be hashed, quantized, or scored — it
+    would NULL-poison JVM aggregates and crash the NumPy kernels
+    (np.stack over a None element) — so it is dropped at the operator
+    boundary, the same contract as NULL text in the sketch operators."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def _quantize(col, scale: int = 1000):
     # cast FIRST to double (float32 -> float64 is exact), then scale+round:
     # identical IEEE ops on any SQL engine -> identical integers.
@@ -41,6 +50,7 @@ def topk_quantized_ip(df: DataFrame, k: int = 5, probe_ids=None,
     scale replace the window with ``groupBy(probe).agg(max_by...)`` loops
     or use AQE-coalesced partial top-k; for k<=100 the window is fine.
     """
+    df = _nonnull_vecs(df, vec_col)
     q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
     probes = q.where(F.col(id_col).isin(list(probe_ids))) if probe_ids is not None else q
     probes = F.broadcast(probes.select(F.col(id_col).alias("probe_id"),
@@ -59,6 +69,7 @@ def cosine_topk(df: DataFrame, k: int = 5, probe_ids=None,
     """Exact top-k by cosine similarity (float64). Same plan shape as
     ``topk_quantized_ip``; float results are for in-engine use (ANN recall
     baselines), not byte-exact cross-engine comparison."""
+    df = _nonnull_vecs(df, vec_col)
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
@@ -107,6 +118,7 @@ def embedding_dup_pairs(df: DataFrame, threshold_pct: int = 95,
     import numpy as np
     import pandas as pd
 
+    df = _nonnull_vecs(df, vec_col)
     q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     # one struct(bi, bj) per unordered block pair this vector participates
@@ -227,6 +239,7 @@ def _ivf_topk_portable(df: DataFrame, k: int, probe_ids, nlist: int,
     assignment map with map-side argmin, candidates equi-joined on cell
     id (each vector lives in exactly one cell, so no dedup is needed —
     unlike LSH a (probe, neighbor) pair cannot recur)."""
+    df = _nonnull_vecs(df, vec_col)
     spark = df.sparkSession
     q = (df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
          .cache())
@@ -367,6 +380,7 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
     with integer centroids/distances, quantized-cosine scoring —
     restatable bit-for-bit in any ANSI engine (oracle q24). Production
     default stays xxhash64 + float64 + sampled training."""
+    df = _nonnull_vecs(df, vec_col)
     if hash_family == "portable":
         return _ivf_topk_portable(df, k, probe_ids, nlist, nprobe, iters,
                                   id_col, vec_col)
@@ -513,6 +527,7 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
     a reasonable cap). ``hash_family="portable"`` makes the bucketing
     md5-based and integer-exact (see ``_lsh_signatures``) for cross-engine
     verification (oracle q31)."""
+    df = _nonnull_vecs(df, vec_col)
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     dim = _infer_dim(df, vec_col)
@@ -580,6 +595,7 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     Signatures are computed relationally (posexplode dims -> broadcast join
     with a plane-weight table -> two aggregations) rather than as one giant
     per-row expression — constant-size plans for any dimensionality."""
+    df = _nonnull_vecs(df, vec_col)
     dim = _infer_dim(df, vec_col)
     if dim is None:  # empty corpus -> empty top-k, same schema
         return df.sparkSession.createDataFrame(

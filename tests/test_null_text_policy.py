@@ -79,6 +79,25 @@ def test_conll_sink_drops_null_text_rows(docs):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
 
 
+def test_similarity_ops_drop_null_vectors(spark):
+    """NULL embeddings are dropped at every similarity entry point — a
+    None element otherwise NULL-poisons the JVM aggregates (q16's oracle
+    collapsed to 0 rows) or crashes the NumPy kernels outright
+    (np.stack/np.array over an inhomogeneous batch in the block GEMM)."""
+    from quickner_spark.operators import simsearch as ss
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    top = ss.topk_quantized_ip(vecs, k=2, probe_ids=[1])
+    assert sorted(r["neighbor_id"] for r in top.collect()) == [3, 4]
+    dups = ss.embedding_dup_pairs(vecs, threshold_pct=95, n_blocks=2)
+    assert [(r["id_a"], r["id_b"]) for r in dups.collect()] == [(1, 3)]
+    lsh = ss.lsh_dup_pairs(vecs, threshold_pct=95)
+    assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} <= {(1, 3)}
+    ivf = ss.ivf_topk(vecs, k=1, probe_ids=[1], nlist=2, nprobe=2)
+    assert all(r["neighbor_id"] != 2 for r in ivf.collect())
+
+
 def test_snapshot_delta_excludes_null_digests(spark):
     old = spark.createDataFrame(
         [("a", "d1"), ("b", None)], "url string, digest string")
