@@ -1837,7 +1837,7 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        event_type,
        count(*) AS n_events,
        CAST(floor(sum(value)) AS BIGINT) AS sum_value_fl
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
         "q21_sessions": """
 WITH g AS (
@@ -1845,7 +1845,7 @@ WITH g AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT user_id,

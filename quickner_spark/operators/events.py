@@ -51,7 +51,13 @@ def tumbling_window_stats(events: DataFrame, ts_col: str = "ts",
                           value_col: str = "value",
                           minutes: int = 10) -> DataFrame:
     """Per (tumbling window, key): event count + value sum (sum kept as
-    floor(long) for cross-engine exactness)."""
+    floor(long) for cross-engine exactness).
+
+    NULL-timestamp events are dropped — Spark's ``window()`` does this
+    implicitly (no window is assignable); the explicit filter makes the
+    policy visible in the plan and in relational restatements, where
+    epoch arithmetic would otherwise keep a spurious NULL-window group."""
+    events = events.where(F.col(ts_col).isNotNull())
     win = F.window(ts_col, f"{minutes} minutes")
     return (events
             .groupBy(win.alias("w"), F.col(key_col))
@@ -65,7 +71,14 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the user's
     previous event exceeds ``gap_minutes``. Classic lag + cumulative-sum
-    window; session_id is 1-based per user."""
+    window; session_id is 1-based per user.
+
+    NULL-timestamp events are dropped: their position in the ordered
+    per-user stream is engine-defined (Spark sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST), so any session id assigned to them — and, worse,
+    to their NEIGHBORS via the lag gap — would be nondeterministic.
+    NULL ``user_col`` keys keep standard SQL grouping (one NULL group)."""
+    events = events.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)

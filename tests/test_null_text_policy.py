@@ -98,6 +98,27 @@ def test_similarity_ops_drop_null_vectors(spark):
     assert all(r["neighbor_id"] != 2 for r in ivf.collect())
 
 
+def test_event_time_ops_drop_null_timestamps(spark):
+    """Events without a timestamp cannot be placed on the time axis:
+    tumbling windows drop them (Spark's window() already does — the
+    filter makes it explicit), and sessionize MUST drop them because
+    NULL ordering is engine-defined (NULLS FIRST vs LAST), which would
+    make the neighbors' session ids nondeterministic too."""
+    from quickner_spark.operators.events import (sessionize,
+                                                 tumbling_window_stats)
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 7, "a", 1.0),
+         (2, None, 7, "a", 2.0),
+         (3, "2026-01-01 01:00:00", 7, "a", 3.0)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double").withColumn("ts", F.to_timestamp("ts"))
+    w = tumbling_window_stats(ev)
+    assert w.count() == 2 and w.agg(F.sum("n_events")).first()[0] == 2
+    s = sessionize(ev)
+    rows = {r["event_id"]: r["session_id"] for r in s.collect()}
+    assert rows == {1: 1, 3: 2}  # 60-min gap > 30 -> two sessions; no id 2
+
+
 def test_snapshot_delta_excludes_null_digests(spark):
     old = spark.createDataFrame(
         [("a", "d1"), ("b", None)], "url string, digest string")
