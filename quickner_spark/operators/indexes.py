@@ -20,7 +20,27 @@ __all__ = [
     "entity_index",
     "entity_index_salted",
     "salted_distinct_count",
+    "key_violations",
 ]
+
+
+def key_violations(df: DataFrame, key_cols) -> DataFrame:
+    """Primary-key audit: the keys appearing more than once, with their
+    multiplicities — ``(key..., n_rows)``.
+
+    The engine's table contract is that document/vector keys are UNIQUE,
+    an invariant every ingest path establishes once (the texts loader's
+    text-hash dedup, WARC's ``latest_by_url`` arg-max, ``Text``'s
+    HashSet equality) rather than every query re-paying a defensive
+    ``dropDuplicates`` shuffle. Violated-input behavior is therefore
+    per-row (a duplicated key flows through per-row operators twice and
+    inflates keyed aggregates); this audit is the cheap way to locate
+    offending keys after ingesting an untrusted table — one partial
+    aggregate, shuffle carries only (key, count) pairs, empty result ==
+    contract holds."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return (df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+            .where(F.col("n_rows") > 1))
 
 
 def label_histogram(mentions: DataFrame) -> DataFrame:

@@ -119,6 +119,26 @@ def test_event_time_ops_drop_null_timestamps(spark):
     assert rows == {1: 1, 3: 2}  # 60-min gap > 30 -> two sessions; no id 2
 
 
+def test_key_violations_audit(spark):
+    """The unique-key table contract is enforced at INGEST (loader text
+    dedup, WARC latest-by-url), not re-paid per query; key_violations is
+    the audit for untrusted tables — empty result == contract holds."""
+    from quickner_spark.operators.indexes import key_violations
+    clean = spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "doc_id long, text string")
+    assert key_violations(clean, "doc_id").count() == 0
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "conflict"), (2, "b")],
+        "doc_id long, text string")
+    rows = key_violations(dirty, "doc_id").collect()
+    assert [(r["doc_id"], r["n_rows"]) for r in rows] == [(1, 3)]
+    # ingest-side enforcement example: WARC's latest_by_key restores it
+    from quickner_spark.operators.events import latest_by_key
+    fixed = latest_by_key(dirty.withColumn("ts", F.col("doc_id")),
+                          "doc_id", "ts")
+    assert key_violations(fixed, "doc_id").count() == 0
+
+
 def test_snapshot_delta_excludes_null_digests(spark):
     old = spark.createDataFrame(
         [("a", "d1"), ("b", None)], "url string, digest string")
