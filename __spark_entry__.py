@@ -1503,7 +1503,8 @@ def _lsh_sig_cte(n_planes: int, n_tables: int, seed: int) -> str:
 v AS (SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
 dims AS (SELECT len(embedding) AS dim FROM embeddings
          WHERE embedding IS NOT NULL LIMIT 1),
 planes AS (
@@ -1535,7 +1536,8 @@ def _ivf_cte(nlist: int, nprobe: int, iters: int, k: int,
 v AS (SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
 vexp AS (SELECT vec_id, t.i AS d, q[t.i + 1] AS x
          FROM v, LATERAL (SELECT unnest(range(len(q))) AS i) t),
 hs AS (SELECT vec_id,
@@ -1785,6 +1787,7 @@ WITH q AS (
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ),
 p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id IN ({probe_list})),
 scored AS (
@@ -1890,6 +1893,7 @@ WITH q AS (
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
   FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ),
 n AS (
   SELECT vec_id, qv,
@@ -1999,7 +2003,8 @@ cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
 q100 AS (SELECT vec_id,
                 list_transform(embedding,
                                x -> CAST(round(CAST(x AS DOUBLE)*100) AS BIGINT)) AS q
-         FROM embeddings WHERE embedding IS NOT NULL),
+         FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
 nrm AS (SELECT vec_id, q,
                CAST(list_sum(list_transform(range(1, len(q) + 1),
                                             i -> q[i] * q[i])) AS BIGINT) AS n2

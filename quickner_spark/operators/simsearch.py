@@ -21,12 +21,18 @@ __all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
 
 
 def _nonnull_vecs(df: DataFrame, vec_col: str) -> DataFrame:
-    """NULL-vector policy, shared by every similarity entry point: a row
-    with a NULL embedding cannot be hashed, quantized, or scored — it
-    would NULL-poison JVM aggregates and crash the NumPy kernels
-    (np.stack over a None element) — so it is dropped at the operator
-    boundary, the same contract as NULL text in the sketch operators."""
-    return df.where(F.col(vec_col).isNotNull())
+    """Vector-validity policy, shared by every similarity entry point:
+    rows whose embedding is NULL or carries a non-finite component are
+    dropped at the operator boundary. A NULL vector NULL-poisons JVM
+    aggregates and crashes the NumPy kernels (np.stack over a None
+    element); a single NaN/Inf component ABORTS the whole job under
+    ANSI mode (round(NaN).cast(long) -> CAST_OVERFLOW in _quantize) —
+    at corpus scale one bad upstream model output must not kill the
+    stage. The finiteness test is per-row JVM forall — no shuffle,
+    negligible next to quantization itself."""
+    finite = F.forall(F.col(vec_col),
+                      lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))))
+    return df.where(F.col(vec_col).isNotNull() & finite)
 
 
 def _quantize(col, scale: int = 1000):

@@ -98,6 +98,23 @@ def test_similarity_ops_drop_null_vectors(spark):
     assert all(r["neighbor_id"] != 2 for r in ivf.collect())
 
 
+def test_similarity_ops_drop_nonfinite_vectors(spark):
+    """A single NaN component ABORTS the whole job under ANSI mode
+    (round(NaN).cast(long) -> CAST_OVERFLOW) — at corpus scale one bad
+    upstream model output must not kill the stage. Non-finite vectors
+    are dropped at the same boundary as NULLs."""
+    from quickner_spark.operators import simsearch as ss
+    nan, inf = float("nan"), float("inf")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [nan, 0.0]), (3, [1.0, 0.0]),
+         (4, [inf, 1.0]), (5, [0.0, -inf])],
+        "vec_id long, embedding array<float>")
+    top = ss.topk_quantized_ip(vecs, k=4, probe_ids=[1])
+    assert sorted(r["neighbor_id"] for r in top.collect()) == [3]
+    dups = ss.embedding_dup_pairs(vecs, threshold_pct=95, n_blocks=2)
+    assert [(r["id_a"], r["id_b"]) for r in dups.collect()] == [(1, 3)]
+
+
 def test_event_time_ops_drop_null_timestamps(spark):
     """Events without a timestamp cannot be placed on the time axis:
     tumbling windows drop them (Spark's window() already does — the
