@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from quickner_spark.operators.hashing import portable_hash64
 
 __all__ = ["topk_quantized_ip", "cosine_topk", "lsh_topk", "ivf_topk",
-           "embedding_dup_pairs", "lsh_dup_pairs"]
+           "embedding_dup_pairs", "lsh_dup_pairs", "dim_histogram"]
 
 
 def _nonnull_vecs(df: DataFrame, vec_col: str) -> DataFrame:
@@ -387,6 +387,9 @@ def ivf_topk(df: DataFrame, k: int = 5, probe_ids=None, nlist: int = 16,
     restatable bit-for-bit in any ANSI engine (oracle q24). Production
     default stays xxhash64 + float64 + sampled training."""
     df = _nonnull_vecs(df, vec_col)
+    dim = _infer_dim(df, vec_col)
+    if dim is not None:  # uniform-dim contract (see dim_histogram)
+        df = df.where(F.size(F.col(vec_col)) == dim)
     if hash_family == "portable":
         return _ivf_topk_portable(df, k, probe_ids, nlist, nprobe, iters,
                                   id_col, vec_col)
@@ -447,6 +450,19 @@ def _infer_dim(df: DataFrame, vec_col: str):
     if row is None or row[0] is None:
         return None
     return len(row[0])
+
+
+def dim_histogram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Uniform-dimension audit for untrusted embedding tables:
+    ``(dim, n_rows)`` per distinct vector length (NULL dim = NULL
+    vectors). The similarity operators assume ONE dimensionality —
+    mixed lengths would null-pad through zip_with into silent NULL
+    scores — and the LSH/IVF entry points enforce it against the first
+    row's length; a one-row result here means the contract holds
+    corpus-wide. Same cheap shape as ``indexes.key_violations``: one
+    partial aggregate, the shuffle carries (dim, count) pairs."""
+    return (df.groupBy(F.size(F.col(vec_col)).alias("dim"))
+            .agg(F.count("*").alias("n_rows")))
 
 
 def _lsh_signatures(v: DataFrame, dim: int, n_planes: int, n_tables: int,
@@ -534,12 +550,16 @@ def lsh_dup_pairs(df: DataFrame, threshold_pct: int = 95, n_planes: int = 8,
     md5-based and integer-exact (see ``_lsh_signatures``) for cross-engine
     verification (oracle q31)."""
     df = _nonnull_vecs(df, vec_col)
-    v = df.select(F.col(id_col),
-                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     dim = _infer_dim(df, vec_col)
     if dim is None:  # empty corpus -> empty pair set, same schema
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, dot long, n2_a long, n2_b long")
+    # uniform-dimension contract: rows of any OTHER length are dropped —
+    # list_zip/zip_with would null-pad them into silent NULL scores.
+    # Use dim_histogram() to audit an untrusted table first.
+    df = df.where(F.size(F.col(vec_col)) == dim)
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     sig = _drop_oversized_buckets(
         _lsh_signatures(v, dim, n_planes, n_tables, seed, id_col,
                         hash_family), max_bucket)
@@ -606,6 +626,7 @@ def lsh_topk(df: DataFrame, k: int = 5, probe_ids=None, n_planes: int = 8,
     if dim is None:  # empty corpus -> empty top-k, same schema
         return df.sparkSession.createDataFrame(
             [], "probe_id long, neighbor_id long, rank int, cosine double")
+    df = df.where(F.size(F.col(vec_col)) == dim)  # uniform-dim contract
     spark = df.sparkSession
     if score == "quantized":
         v = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("v"))

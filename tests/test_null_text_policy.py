@@ -136,6 +136,24 @@ def test_event_time_ops_drop_null_timestamps(spark):
     assert rows == {1: 1, 3: 2}  # 60-min gap > 30 -> two sessions; no id 2
 
 
+def test_uniform_dim_contract(spark):
+    """Mixed vector lengths null-pad through zip_with into silent NULL
+    scores (or crash the NumPy Lloyd/GEMM kernels). dim_histogram is
+    the audit; the LSH/IVF entry points enforce conformance against the
+    inferred dimensionality."""
+    from quickner_spark.operators import simsearch as ss
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0]), (3, [1.0, 0.0]),
+         (4, [0.0, 1.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    h = {r["dim"]: r["n_rows"] for r in ss.dim_histogram(vecs).collect()}
+    assert h == {2: 2, 1: 1, 3: 1}
+    lsh = ss.lsh_dup_pairs(vecs, threshold_pct=95)
+    assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} <= {(1, 3)}
+    ivf = ss.ivf_topk(vecs, k=2, probe_ids=[1], nlist=2, nprobe=2)
+    assert [r["neighbor_id"] for r in ivf.collect()] == [3]
+
+
 def test_key_violations_audit(spark):
     """The unique-key table contract is enforced at INGEST (loader text
     dedup, WARC latest-by-url), not re-paid per query; key_violations is
